@@ -1,0 +1,43 @@
+"""tropical — TPU-native polyhedral-complex extraction from piecewise-trilinear SDF nets.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the PyTorch
+reference ``seonghunn/tropical-nerf.pytorch`` ("Polyhedral Complex Derivation from
+Piecewise Trilinear Networks", NeurIPS 2024).  The public package name and API
+surface mirror the reference (``tropical/__init__.py:1-34`` re-exports the grid
+module there); the implementation is a new TPU-first design:
+
+- hash-grid encoding + MLP run as fused, jitted XLA/Pallas programs,
+- the edge-subdivision loop keeps all geometry on-device with bucketed shapes,
+- region bookkeeping uses packed-integer sort/unique instead of dict loops,
+- polynomial roots are closed-form/bracketed (no LAPACK eig on TPU).
+"""
+
+from tropical.core.hashgrid import HashGridSpec, TropicalHashGrid
+from tropical.version import __version__
+
+__all__ = ["HashGridSpec", "TropicalHashGrid", "deprecated", "__version__"]
+
+
+def deprecated(arg=None):
+    """Decorator marking deprecated API (parity with reference tropical/__init__.py:12-34).
+
+    Usable bare (``@deprecated``) or with a reason (``@deprecated("msg")``).
+    """
+    import functools
+    import warnings
+
+    def _wrap(func, reason=""):
+        @functools.wraps(func)
+        def inner(*args, **kwargs):
+            warnings.warn(
+                f"{func.__name__} is deprecated. {reason}",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            return func(*args, **kwargs)
+
+        return inner
+
+    if callable(arg):
+        return _wrap(arg)
+    return lambda func: _wrap(func, arg or "")

@@ -1,0 +1,257 @@
+"""Multiresolution hash-grid encoding (Müller et al. 2022) as pure JAX.
+
+TPU-native replacement for the reference's ``tinycudann`` dependency
+(reference: tropical/tropical.py:17,32-47 wraps ``tcnn.Encoding`` with otype
+Grid/Hash).  The semantics follow the public instant-ngp / tiny-cuda-nn grid
+encoding so that checkpoints exported from the reference (``enc.module.params``)
+can be imported:
+
+- per-level scale   ``s_l = N_min * b**l - 1``  with geometric growth
+  ``b = exp2(log2(N_max*scale/N_min) / (L-1))``   (reference tropical.py:31,55),
+- resolution        ``r_l = ceil(s_l) + 1``,
+- sample position   ``pos = x * s_l + 0.5`` (the 0.5-voxel offset of
+  Müller et al. Appendix A; reference tropical.py:60-61),
+- dense linear index while ``r_l**D`` fits the table, otherwise the spatial
+  hash ``xor_d(grid[d] * primes[d]) mod 2^T`` with primes
+  (1, 2654435761, 805459861),
+- per-level table size ``min(next_multiple(r_l**D, 8), 2^T)``,
+- trilinear interpolation over the 2^D cell corners, float32 params.
+
+Everything here is shape-static and jit-friendly: the per-level scales,
+resolutions and offsets are Python constants derived from the spec, so XLA
+sees a fully unrolled, fusable gather/fma pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PRIMES = (1, 2654435761, 805459861)
+
+
+def _next_multiple(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class HashGridSpec:
+    """Static configuration of a multiresolution hash grid.
+
+    Mirrors the constructor surface of the reference ``TropicalHashGrid``
+    (tropical/tropical.py:21-44): scale, D, L, F, T, N_min, N_max, eps.
+    """
+
+    scale: float = 1.0
+    dim: int = 3
+    levels: int = 16
+    features: int = 2
+    log2_table: int = 19
+    n_min: int = 16
+    n_max: int = 2048
+    eps: float = 1e-4
+
+    @cached_property
+    def growth(self) -> float:
+        # reference tropical.py:31
+        if self.levels == 1:
+            return 1.0
+        return float(
+            np.exp2(np.log2(self.n_max * self.scale / self.n_min) / (self.levels - 1))
+        )
+
+    def level_scale(self, l: int) -> float:
+        # reference tropical.py:55 (a.k.a. tcnn grid_scale)
+        return float(np.exp2(l * np.log2(self.growth)) * self.n_min - 1.0)
+
+    def level_resolution(self, l: int) -> int:
+        return int(np.ceil(self.level_scale(l))) + 1
+
+    def level_entries(self, l: int) -> int:
+        dense = self.level_resolution(l) ** self.dim
+        return min(_next_multiple(dense, 8), 1 << self.log2_table)
+
+    def level_uses_hash(self, l: int) -> bool:
+        return self.level_resolution(l) ** self.dim > (1 << self.log2_table)
+
+    @cached_property
+    def level_offsets(self) -> Sequence[int]:
+        offs = []
+        o = 0
+        for l in range(self.levels):
+            offs.append(o)
+            o += self.level_entries(l)
+        return tuple(offs)
+
+    @cached_property
+    def n_entries(self) -> int:
+        return self.level_offsets[-1] + self.level_entries(self.levels - 1)
+
+    @cached_property
+    def n_params(self) -> int:
+        return self.n_entries * self.features
+
+    @property
+    def out_dim(self) -> int:
+        return self.levels * self.features
+
+
+def init_params(spec: HashGridSpec, key: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Hash-table init, uniform in [-1e-4, 1e-4] like tiny-cuda-nn's grid default."""
+    return jax.random.uniform(
+        key, (spec.n_entries, spec.features), dtype, minval=-1e-4, maxval=1e-4
+    )
+
+
+def _level_indices(spec: HashGridSpec, l: int, grid: jax.Array) -> jax.Array:
+    """Table index for integer corner coordinates ``grid`` [..., D] at level l."""
+    res = spec.level_resolution(l)
+    table = 1 << spec.log2_table
+    if spec.level_uses_hash(l):
+        h = grid[..., 0].astype(jnp.uint32) * np.uint32(PRIMES[0])
+        for d in range(1, spec.dim):
+            h = h ^ (grid[..., d].astype(jnp.uint32) * np.uint32(PRIMES[d]))
+        return (h & np.uint32(table - 1)).astype(jnp.int32)
+    idx = grid[..., 0]
+    stride = 1
+    for d in range(1, spec.dim):
+        stride *= res
+        idx = idx + grid[..., d] * stride
+    # tcnn applies `index % hashmap_size` unconditionally; emulate so slightly
+    # out-of-range queries stay in-buffer instead of UB.
+    return jnp.remainder(idx, table).astype(jnp.int32)
+
+
+def encode(spec: HashGridSpec, params: jax.Array, x: jax.Array) -> jax.Array:
+    """Encode points ``x`` [B, D] in [0,1]^D -> features [B, L*F] (level-major).
+
+    Pure function of (params, x); safe under jit/grad/vmap.  Gradients w.r.t.
+    ``x`` flow through the trilinear weights (floor has zero gradient), matching
+    the piecewise-trilinear analytical structure the extraction relies on.
+    """
+    D = spec.dim
+    outs = []
+    for l in range(spec.levels):
+        scale = spec.level_scale(l)
+        off = spec.level_offsets[l]
+        pos = x * scale + 0.5
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        pos_grid = pos_grid.astype(jnp.int32)
+
+        feat = None
+        for corner in range(1 << D):
+            bits = [(corner >> d) & 1 for d in range(D)]
+            cp = pos_grid + jnp.asarray(bits, jnp.int32)
+            idx = _level_indices(spec, l, cp)
+            w = None
+            for d in range(D):
+                wd = frac[..., d] if bits[d] else 1.0 - frac[..., d]
+                w = wd if w is None else w * wd
+            # clip: boundary cells whose upper corner leaves the dense level
+            # read the last entry instead of NaN-fill (tcnn reads past the
+            # level into the next level's memory there; either way the field
+            # stays finite and trilinear within the cell)
+            g = jnp.take(params, off + idx, axis=0, mode="clip")  # [B, F]
+            term = w[..., None] * g
+            feat = term if feat is None else feat + term
+        outs.append(feat)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def compute_marks(spec: HashGridSpec) -> np.ndarray:
+    """Sorted, eps-deduplicated union of all levels' grid-plane coordinates.
+
+    Port of the reference semantics (tropical/tropical.py:49-79): per level the
+    breakpoints of ``pos = x*s_l + 0.5`` are ``k/s_l - 0.5/s_l`` for
+    ``k*unit < 1.5``; the boundary {0, scale} is appended; neighbours closer
+    than eps are merged to their midpoint; result clipped to [0, scale].
+    Computed once on host in float64, stored float32.
+    """
+    vertices = []
+    for l in range(spec.levels):
+        unit = 1.0 / spec.level_scale(l)
+        ks = np.arange(0, math.ceil(1.5 / unit) + 1)
+        v = ks * unit
+        v = v[v < 1.5] - 0.5 * unit
+        vertices.append(v)
+    vertices.append(np.array([0.0, spec.scale]))
+    marks = np.unique(np.concatenate(vertices))
+
+    keep = np.ones(len(marks), bool)
+    marks = marks.copy()
+    for i in range(len(marks) - 1):
+        if abs(marks[i] - marks[i + 1]) < spec.eps:
+            marks[i + 1] = (marks[i] + marks[i + 1]) / 2
+            keep[i] = False
+    marks = marks[keep]
+    marks = marks[(marks >= 0) & (marks <= spec.scale)]
+    return marks.astype(np.float32)
+
+
+class TropicalHashGrid:
+    """Analytical wrapper over the hash encoding that knows its grid marks.
+
+    Functional analog of the reference ``TropicalHashGrid`` module
+    (tropical/tropical.py:20-239).  Holds the spec, the (mutable) parameter
+    array, and the precomputed marks; all compute methods are pure JAX.
+    """
+
+    def __init__(self, spec: HashGridSpec, params: jax.Array | None = None,
+                 key: jax.Array | None = None):
+        self.spec = spec
+        if params is None:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            params = init_params(spec, key)
+        self.params = params
+        self.marks = jnp.asarray(compute_marks(spec))
+
+    @classmethod
+    def create(cls, scale: float = 1.0, D: int = 3, L: int = 16, F: int = 2,
+               T: int = 19, N_min: int = 16, N_max: int = 2048, eps: float = 1e-4,
+               key: jax.Array | None = None) -> "TropicalHashGrid":
+        """Constructor argument order mirrors reference tropical.py:21-22."""
+        return cls(HashGridSpec(scale, D, L, F, T, N_min, N_max, eps), key=key)
+
+    def __call__(self, x: jax.Array, params: jax.Array | None = None) -> jax.Array:
+        return encode(self.spec, self.params if params is None else params, x)
+
+    # serialized vertex index from per-axis mark indices (reference tropical.py:141-146)
+    def p2v(self, indices: jax.Array) -> jax.Array:
+        L = len(self.marks)
+        D = self.spec.dim
+        weights = jnp.asarray([L ** (D - 1 - i) for i in range(D)], indices.dtype)
+        return (indices * weights).sum(axis=-1)
+
+    # per-axis mark indices from serialized vertex index (reference tropical.py:149-156)
+    def v2p(self, v_idx: jax.Array) -> jax.Array:
+        L = len(self.marks)
+        D = self.spec.dim
+        out = []
+        rem = v_idx
+        for i in range(D - 1, -1, -1):
+            q = rem // (L ** i)
+            out.append(q)
+            rem = rem - q * (L ** i)
+        return jnp.stack(out, axis=-1)
+
+    def region(self, x: jax.Array, eps: float | None = None):
+        """Eps-tolerant per-axis cell index + on-plane mask.
+
+        Port of reference tropical.py:227-236: ``offset = searchsorted(marks,
+        x+eps) - 1`` (index -1 wraps to the last mark, as torch indexing does);
+        ``mask`` is 1 strictly inside a cell, 0 within eps of a grid plane.
+        """
+        eps = self.spec.eps if eps is None else eps
+        marks = self.marks
+        offset = jnp.searchsorted(marks, x + eps) - 1
+        wrapped = jnp.where(offset < 0, offset + len(marks), offset)
+        mark_at = jnp.take(marks, wrapped, axis=0, mode="clip")
+        mask = (jnp.abs(mark_at - x) > eps).astype(jnp.int32)
+        return mask, offset.astype(jnp.int32)
