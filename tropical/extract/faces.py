@@ -136,5 +136,9 @@ def extract_faces(vertices: np.ndarray, edges: np.ndarray, net,
     sorted_idx = np.take_along_axis(v_indices, order, axis=1)
 
     tris = fan_triangles(sorted_idx)
+    # the angular sort is CCW around +grad(sdf) (inward for inside-positive
+    # SDFs); reverse the winding so exported normals follow the common
+    # outward convention, matching the MT baseline
+    tris = tris[:, ::-1]
     face_positions = vertices[tris]
     return face_positions, tris

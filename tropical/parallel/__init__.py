@@ -1,0 +1,4 @@
+from tropical.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                    sharded_train_step)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "sharded_train_step"]

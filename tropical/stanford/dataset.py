@@ -1,0 +1,108 @@
+"""Stanford 3D scan datasets (+ procedural shapes) with SDF training labels.
+
+Port of reference tropical/stanford/dataset.py:25-99.  Loads the same PLY
+paths when present (the scans are downloaded separately from the Stanford 3D
+scanning repository, exactly as in the reference), normalizes the longest AABB
+side to 2 and centers, then samples 50k jittered near-surface points labeled by
+signed distance — computed with the TPU brute-force mesh query (or the C++
+host BVH) instead of ``cubvh``.  ``sphere``/``torus`` are self-contained
+procedural shapes for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from tropical.utils.ply import Mesh, read_ply
+from tropical.utils.procedural import icosphere, torus
+
+BASE_DIR = os.path.dirname(__file__)
+
+# name -> relative PLY path (reference dataset.py:35-67)
+_PLY_PATHS = {
+    "bunny": "bunny/reconstruction/bun_zipper.ply",
+    "armadillo": "armadillo/Armadillo.ply",
+    "drill": "drill/reconstruction/drill_shaft_vrip.ply",
+    "lucy": "lucy/lucy_res10.ply",
+    "dragon": "dragon_recon/dragon_vrip_res3.ply",
+    "happy": "happy_recon/happy_vrip_res3.ply",
+}
+
+_PROCEDURAL = {
+    "sphere": lambda: icosphere(4),
+    "torus": lambda: torus(),
+}
+
+
+class StanfordDataset:
+    """50k resampled (point, signed-distance) pairs around the target mesh."""
+
+    def __init__(self, name: str = "dragon", rng: np.random.Generator | None = None,
+                 n_samples: int = 50000):
+        self.R = 0.8  # world scale divisor applied at export (reference :27)
+        self.name = name
+        self.rng = rng or np.random.default_rng(0)
+        self.n_samples = n_samples
+        self.init()
+        self.resample()
+
+    def __len__(self) -> int:
+        return self.n_samples
+
+    def init(self):
+        name = self.name.lower()
+        if name in _PROCEDURAL:
+            print(f"Building procedural {name} mesh ...")
+            self.mesh = _PROCEDURAL[name]()
+        else:
+            rel = _PLY_PATHS.get(name)
+            if rel is None:
+                raise ValueError(f"unknown dataset {self.name}")
+            path = os.path.join(BASE_DIR, rel)
+            print(f"Loading {os.path.basename(rel)} ...")
+            if not os.path.isfile(path):
+                raise FileNotFoundError(
+                    f"{path} not found — download the Stanford scans into "
+                    f"tropical/stanford/ (same layout as the reference), or "
+                    f"use the procedural 'sphere'/'torus' datasets")
+            self.mesh = read_ply(path)
+        print("Done.", flush=True)
+
+        # normalize longest AABB side to 2, center (reference dataset.py:71-74)
+        vertices = np.asarray(self.mesh.vertices, np.float64)
+        scale = (vertices.max(0) - vertices.min(0)).max()
+        vertices = vertices / scale * 2
+        vertices -= (vertices.max(0) + vertices.min(0)) / 2
+        self.mesh = Mesh(vertices, self.mesh.faces)
+
+        from tropical.ops.mesh_queries import MeshQuery
+
+        self.query = MeshQuery(self.mesh.vertices, self.mesh.faces)
+        print("Mesh query initialized.", flush=True)
+
+    def resample(self):
+        """Draw 50k jittered surface-adjacent points with SD labels
+        (reference dataset.py:80-96; inside is positive)."""
+        vertices = np.asarray(self.mesh.vertices, np.float32)
+        d = 0.4
+        if self.name.lower() != "lucy":  # lucy has too many vertices
+            vertices = np.tile(vertices, (10, 1))
+        if vertices.shape[0] < len(self):  # drill has few vertices
+            vertices = np.tile(np.asarray(self.mesh.vertices, np.float32), (30, 1))
+            d = 0.2
+        perm = self.rng.permutation(vertices.shape[0])[:len(self)]
+        points = vertices[perm] + (
+            self.rng.random((len(self), 3), np.float32) * d - d / 2)
+
+        self.X = points.astype(np.float32)
+        self.Y = self.query.signed_distance(points).astype(np.float32)
+
+    def batches(self, batch_size: int, shuffle: bool = True):
+        """Mini-batch iterator (replaces the torch DataLoader)."""
+        order = (self.rng.permutation(len(self)) if shuffle
+                 else np.arange(len(self)))
+        for i in range(0, len(self), batch_size):
+            sel = order[i:i + batch_size]
+            yield self.X[sel], self.Y[sel]

@@ -1,0 +1,175 @@
+"""Train an SDF net, extract its exact polyhedral complex, evaluate.
+
+CLI-compatible port of reference tropical/stanford/train.py (flags -d/-s/-c/
+-m/-e/-f with the reference's inverted store_false semantics for -c/-f:
+*passing* -c disables caching, *passing* -f disables the flat assumption).
+
+    python -m tropical.stanford.train -e -m small -d bunny -s 1
+    python -m tropical.stanford.train -e -m small -d sphere      # procedural
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+# Constants (reference train.py:64-68)
+DIM = 3
+CANVAS_SIZE = 1.2
+BATCH_SIZE = 1000
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="python -m tropical.stanford.train",
+        description="Polyhedral complex derivation from piecewise trilinear "
+                    "networks (TPU-native)")
+    parser.add_argument("-d", "--dataset", default="dragon",
+                        choices=["bunny", "dragon", "happy", "armadillo",
+                                 "drill", "lucy", "sphere", "torus"],
+                        help="Stanford 3D scanning model name (or procedural)")
+    parser.add_argument("-s", "--seed", default=45, type=int, help="Seed")
+    parser.add_argument("-c", "--cache", default=True, action="store_false",
+                        help="Cache the trained SDF?")
+    parser.add_argument("-m", "--model_size", default="small",
+                        choices=["small", "medium", "large"], help="Model size")
+    parser.add_argument("-e", "--eval", default=False, action="store_true",
+                        help="Run evaluation?")
+    parser.add_argument("-f", "--force", default=True, action="store_false",
+                        help="Force flat assumption to skip curve approximation.")
+    parser.add_argument("--gt_res", default=None, type=int,
+                        help="Pseudo-GT grid resolution (default 512 as in the "
+                             "reference; lower for quick runs)")
+    parser.add_argument("--epochs", default=None, type=int,
+                        help="Override training epochs")
+    return parser.parse_args(argv)
+
+
+def model_path_for(dataset: str, model_size: str, seed: int) -> str:
+    return os.path.join(os.path.dirname(__file__),
+                        f"models/{dataset}/{dataset}_sdf_{model_size}_{seed}.pth")
+
+
+def extract_mesh(net, force: bool):
+    """Timed extraction (reference train.py:117-129)."""
+    import tropical.extract.subdivide as sp
+
+    t = time.time()
+    polygons, vertices, faces_with_indices = sp.subpoly(
+        net, DIM, CANVAS_SIZE, force=force)
+    our_t = time.time() - t
+    print(f" take {our_t:.2f}")
+    return polygons, vertices, faces_with_indices, our_t
+
+
+def evaluate_against_grid_gt(net, our_mesh, our_t, dataset_R, gt_res,
+                             out_dir, tag, resolutions=None):
+    """CD/AD of the extracted mesh vs grid pseudo-GT at several resolutions,
+    printed in the reference table format (train.py:325-355)."""
+    from tropical.utils.chamfer import (angular_distance, chamfer_distance,
+                                        get_rays, sample_surface_from_rays)
+    from tropical.utils.isosurface import run_marching_tetrahedra
+
+    rays_o, rays_d = get_rays(100000)
+    our_samples, our_normals, our_mask = sample_surface_from_rays(
+        rays_o, rays_d, our_mesh, return_normal=True)
+
+    if resolutions is None:
+        resolutions = [gt_res, 16, 24, 32, 40, 48, 56, 64, 128, 192, 224, 256]
+        resolutions = [r for i, r in enumerate(resolutions)
+                       if i == 0 or r < gt_res]
+
+    gt_samples = gt_normals = gt_mask = None
+    print("Marching Tetrahedra Results:")
+    print("#samples, #vertices, CD, AD, time")
+    for i in resolutions:
+        t = time.time()
+        mc_mesh = run_marching_tetrahedra(net, i, CANVAS_SIZE, R=dataset_R)
+        t = time.time() - t
+        try:
+            mc_samples, mc_normals, mc_mask = sample_surface_from_rays(
+                rays_o, rays_d, mc_mesh, return_normal=True)
+        except Exception:
+            print(f"{i:4d}, {0:5d}, {0:0.6f}, {0:4.1f}, {t:.2f}")
+            continue
+        if i == gt_res:
+            gt_samples, gt_normals, gt_mask = mc_samples, mc_normals, mc_mask
+            our_cd = chamfer_distance(our_samples, gt_samples)
+            common = our_mask & gt_mask
+            our_ad, _ = angular_distance(our_normals[common], gt_normals[common])
+            print(f"Ours, {our_mesh.vertices.shape[0]:5d}, {our_cd:0.6f}, "
+                  f"{our_ad:4.1f}, {our_t:.2f}")
+
+        mc_cd = chamfer_distance(mc_samples, gt_samples)
+        common = mc_mask & gt_mask
+        mc_ad, _ = angular_distance(mc_normals[common], gt_normals[common])
+        print(f"{i:4d}, {mc_mesh.vertices.shape[0]:5d}, {mc_cd:0.6f}, "
+              f"{mc_ad:4.1f}, {t:.2f}")
+        mc_mesh.export(os.path.join(out_dir, f"mt{i:03d}_{tag}.ply"))
+    print()
+
+
+def main(argv=None):
+    import jax
+
+    from tropical.stanford.dataset import StanfordDataset
+    from tropical.stanford.model import net_for_size
+    from tropical.stanford.training import train
+    from tropical.utils import checkpoint as ckpt
+    from tropical.utils.ply import Mesh
+
+    args = parse_args(argv)
+    print(args)
+    seed = args.seed
+    np.random.seed(seed)
+
+    epochs = args.epochs
+    if epochs is None:
+        epochs = 6 if args.dataset == "drill" else 10  # reference train.py:67
+
+    net = net_for_size(args.model_size, args.dataset, seed)
+    training_data = StanfordDataset(args.dataset,
+                                    rng=np.random.default_rng(seed))
+
+    model_path = model_path_for(args.dataset, args.model_size, seed)
+    found = ckpt.find_checkpoint(model_path)
+    if args.cache and found:
+        ckpt.load_into(net, found)
+        print(f"The pretrained model loaded from {found}")
+    else:
+        if args.cache and not found:
+            print("warning: cannot find a pretrained model for seed "
+                  f"({seed})! Training from scratch; for reproduction use a "
+                  f"cached SDF at {model_path}[.npz].", flush=True)
+        train(net, training_data, epochs, BATCH_SIZE)
+        print("Finished training.", flush=True)
+        if args.cache:
+            saved = ckpt.save_params(model_path, net.params)
+            print(f"Saved {saved}")
+
+    polygons, vertices, faces_with_indices, our_t = extract_mesh(net, args.force)
+
+    # export our mesh (reference train.py:244-269)
+    vertices_np = np.asarray(vertices) / training_data.R
+    our_mesh = Mesh(vertices_np, np.asarray(faces_with_indices))
+    print(f"Ours: {our_mesh.vertices.shape}/{our_mesh.faces.shape}")
+
+    out_dir = f"meshes/{args.dataset}"
+    os.makedirs(out_dir, exist_ok=True)
+    tag = f"{args.model_size}_{seed}"
+    our_mesh.export(os.path.join(out_dir, f"our_mesh_{tag}.ply"))
+
+    if not args.eval:
+        return 0
+
+    gt_res = args.gt_res or 512
+    evaluate_against_grid_gt(net, our_mesh, our_t, training_data.R, gt_res,
+                             out_dir, tag)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
