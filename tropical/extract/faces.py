@@ -113,12 +113,12 @@ def extract_faces(vertices: np.ndarray, edges: np.ndarray, net,
     """
     import jax.numpy as jnp
 
+    from tropical.extract.common import host_region
+
     if vertices.shape[0] == 0:
         return np.empty((0, 3, 3), np.float32), np.empty((0, 3), np.int64)
 
-    m_rgn, offset, _ = net.region(jnp.asarray(vertices), jnp.asarray(outputs), eps)
-    m_rgn = np.asarray(m_rgn)
-    offset = np.asarray(offset)
+    m_rgn, offset = host_region(net, vertices, outputs, eps)
 
     # exclude the final SDF plane column (subpoly.py:611)
     r_idx, aug = rg.regions_to_vertices(m_rgn[:, :-1], offset)

@@ -23,34 +23,41 @@ from tropical.core import regions as rg
 from tropical.extract import failover as fo
 from tropical.extract.faces import extract_faces, extract_skeleton
 from tropical.extract.skeleton import get_hypercube, grid_skeleton
+from tropical.utils.profiling import Phases
+
+PHASES = Phases()
 
 
-def _net_outputs(net, x: np.ndarray, group: int = 1) -> np.ndarray:
-    import jax.numpy as jnp
-
-    return np.asarray(net.outputs(jnp.asarray(x.astype(np.float32)), group=group))
+from tropical.extract.common import host_region, net_outputs as _net_outputs
 
 
-def _net_region(net, x: np.ndarray, output: np.ndarray | None = None,
-                eps: float | None = None):
-    import jax.numpy as jnp
-
-    out = None if output is None else jnp.asarray(output)
-    m, off, o = net.region(jnp.asarray(x.astype(np.float32)), out, eps)
-    # writable copies: the failovers mutate outputs in place
-    return np.array(m), np.array(off), np.array(o)
+_INTS_JIT = None
 
 
 def _intersections(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    global _INTS_JIT
     import jax
     import jax.numpy as jnp
 
     from tropical.core.buffers import padded_apply
     from tropical.core.trilinear import intersection_of_two_planes
 
-    fn = jax.jit(intersection_of_two_planes)
+    if _INTS_JIT is None:
+        _INTS_JIT = jax.jit(intersection_of_two_planes)
     return np.asarray(padded_apply(
-        lambda pp, qq: fn(pp, qq), jnp.asarray(p), jnp.asarray(q)))
+        lambda pp, qq: _INTS_JIT(pp, qq), jnp.asarray(p), jnp.asarray(q)))
+
+
+def _corner_points_np(e: np.ndarray) -> np.ndarray:
+    """Host-side corner expansion (idx = 4i+2j+k -> (x_k, y_j, z_i))."""
+    out = np.empty((e.shape[0], 8, 3), e.dtype)
+    for i in range(2):
+        for j in range(2):
+            for k in range(2):
+                out[:, 4 * i + 2 * j + k, 0] = e[:, k, 0]
+                out[:, 4 * i + 2 * j + k, 1] = e[:, j, 1]
+                out[:, 4 * i + 2 * j + k, 2] = e[:, i, 2]
+    return out
 
 
 def subpoly_(vertices: np.ndarray, edges: np.ndarray, net, l: int, h: int,
@@ -78,7 +85,7 @@ def subpoly_(vertices: np.ndarray, edges: np.ndarray, net, l: int, h: int,
 
     # 1-1. linear interpolation weights
     w = np.abs(dm[:, :1]) / np.abs(dm[:, 1:] - dm[:, :1])
-    _regions, _offset, _ = _net_region(net, vertices, output=outputs_)
+    _regions, _offset = host_region(net, vertices, outputs_, eps)
 
     has_curved = False
     if not force:
@@ -86,10 +93,7 @@ def subpoly_(vertices: np.ndarray, edges: np.ndarray, net, l: int, h: int,
         c = ((np.abs(e[:, 1] - e[:, 0]) > eps).sum(axis=-1)) > 1
         corners = None
         if c.any():
-            from tropical.core.trilinear import corner_points as _cp
-            import jax.numpy as jnp
-
-            corners = np.asarray(_cp(jnp.asarray(e[c]))).reshape(-1, 3)
+            corners = _corner_points_np(e[c]).reshape(-1, 3)
         regions_pair = _regions[edges][m][c][:, :, 3:]  # [Nc, 2, R]
         r_edges = (regions_pair[:, 0] == 0) & (regions_pair[:, 1] == 0)
         has_curved = r_edges.shape[0] > 0
@@ -117,7 +121,7 @@ def subpoly_(vertices: np.ndarray, edges: np.ndarray, net, l: int, h: int,
         ints = _intersections(p, q)
 
         cand = e[c, 0] * (1 - ints) + e[c, 1] * ints
-        _, _, _outputs = _net_region(net, cand)
+        _outputs = _net_outputs(net, cand)
         d_new = np.stack([
             np.take_along_axis(_outputs, inds[:, 1:], axis=1)[:, 0],
             _outputs[:, idx]], axis=-1)
@@ -135,13 +139,15 @@ def subpoly_(vertices: np.ndarray, edges: np.ndarray, net, l: int, h: int,
     if not force and c.any():
         v_new[c] = e[c, 0] + ints * (e[c, 1] - e[c, 0])
 
-    m_rgn, offset, outputs_new = _net_region(net, v_new)
+    with PHASES("forward_new"):
+        outputs_new = _net_outputs(net, v_new)
+    m_rgn, offset = host_region(net, v_new, outputs_new, eps)
     m_idx = offset.shape[1] + idx
 
     if fo.sign_override(edges[m], _regions, _offset, idx, outputs_new, eps):
         # re-region with the overridden outputs so new vertices sit exactly on
         # the planes of their parent edge and the current surface
-        m_rgn, offset, outputs_new = _net_region(net, v_new, output=outputs_new)
+        m_rgn, offset = host_region(net, v_new, outputs_new, eps)
 
     m_rgn, m_rgn_ = m_rgn[:, :m_idx], m_rgn[:, m_idx:]
     assert m_rgn.shape[0] > 0
@@ -166,7 +172,8 @@ def subpoly_(vertices: np.ndarray, edges: np.ndarray, net, l: int, h: int,
     v_off = np.concatenate([offset, _offset[h_idx]], axis=0)
     v_ids = np.concatenate([new_ids, np.nonzero(h_idx)[0]], axis=0)
 
-    pairs = rg.edge_vertices(v_rgn, v_off)
+    with PHASES("edge_vertices"):
+        pairs = rg.edge_vertices(v_rgn, v_off)
     c_new = v_ids[pairs]
     if c_new.size:
         c_new.sort(axis=1)
@@ -182,7 +189,8 @@ def subpoly_(vertices: np.ndarray, edges: np.ndarray, net, l: int, h: int,
     if h < net.num_hidden and pruning:
         m_prn = np.concatenate([_regions[:, m_idx:], m_rgn_], axis=0)
         assert m_prn.shape[0] == vertices.shape[0]
-        inv = rg.row_unique_inverse(m_prn)
+        with PHASES("prune_unique"):
+            inv = rg.row_unique_inverse(m_prn)
         e_prn = inv[edges]
         edges = edges[e_prn[:, 0] != e_prn[:, 1]]
 
@@ -200,7 +208,8 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
 
     Returns (face_positions [T,3,3], vertices [V,3], triangles [T,3]).
     """
-    vertices, edges = grid_skeleton(net)
+    with PHASES("skeleton"):
+        vertices, edges = grid_skeleton(net)
     if edges.shape[0] == 0:
         vertices, edges, _ = get_hypercube(d, size)
 
@@ -230,9 +239,11 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
     if verbose:
         print(f"{vertices.shape[0]}/{edges.shape[0]}", end=", ")
 
-    faces, tris = extract_faces(vertices, edges, net, outputs, eps)
+    with PHASES("extract_faces"):
+        faces, tris = extract_faces(vertices, edges, net, outputs, eps)
 
     if verbose:
         print(f"{len(faces)} faces", end=", ")
+    PHASES.report()
 
     return faces, vertices, tris
