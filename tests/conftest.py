@@ -17,3 +17,21 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def trained_net():
+    """A small SDF net trained on the procedural sphere (shared across tests)."""
+    from tropical.stanford.dataset import StanfordDataset
+    from tropical.stanford.model import Net
+    from tropical.stanford.training import train
+
+    net = Net(num_layers=3, num_hidden=16, levels=4, r_min=2, r_max=16,
+              T=19, key=jax.random.PRNGKey(1))
+    ds = StanfordDataset("sphere", rng=np.random.default_rng(1),
+                         n_samples=8000)
+    train(net, ds, epochs=15, batch_size=500, verbose=False)
+    return net

@@ -1,0 +1,76 @@
+"""Parity: the fused on-device extraction engine vs the host engine.
+
+The device engine (tropical/extract/device.py) re-implements the force-path
+subdivision loop as one jitted program; with caps respected it must produce
+the same skeleton as the host engine (same vertex/edge sets, same order).
+"""
+
+import numpy as np
+import pytest
+
+
+def _host_skeleton(net):
+    import tropical.extract.subdivide as sp
+    from tropical.extract.faces import extract_skeleton
+    from tropical.extract.skeleton import grid_skeleton
+
+    V, E = grid_skeleton(net)
+    outputs = None
+    for l in range(net.num_layers - 1):
+        for h in range(net.num_hidden):
+            V, E, outputs = sp.subpoly_(V, E, net, l, h, 1e-4, outputs,
+                                        force=True)
+    V, E, outputs = sp.subpoly_(V, E, net, net.num_layers - 2,
+                                net.num_hidden, 1e-4, outputs, force=True)
+    V, E, v_idx = extract_skeleton(V, E, outputs, net, 1e-4)
+    return V, E
+
+
+def _device_skeleton(net):
+    import jax.numpy as jnp
+
+    from tropical.extract.device import default_caps, make_extract_fn
+    from tropical.extract.skeleton import grid_skeleton
+
+    V0, E0 = grid_skeleton(net)
+    out0 = np.asarray(net.outputs(jnp.asarray(V0)))
+    caps = default_caps(V0.shape[0], E0.shape[0])
+    extract = make_extract_fn(net.spec, caps, 1e-4)
+
+    Vp = np.zeros((caps.vcap, 3), np.float32)
+    Vp[:V0.shape[0]] = V0
+    Op = np.zeros((caps.vcap, 33), np.float32)
+    Op[:V0.shape[0]] = out0
+    Ep = np.zeros((caps.ecap, 2), np.int32)
+    Ep[:E0.shape[0]] = E0
+    V, OUT, E, nV, nE, ovf = extract(net.params, net.marks, Vp, Op, Ep,
+                                     np.int32(V0.shape[0]),
+                                     np.int32(E0.shape[0]))
+    assert int(ovf) == 0, f"capacity overflow mask {int(ovf)}"
+    n_v, n_e = int(nV), int(nE)
+    return np.asarray(V[:n_v]), np.asarray(E[:n_e]).astype(np.int64)
+
+
+def test_device_matches_host(trained_net):
+    Vh, Eh = _host_skeleton(trained_net)
+    Vd, Ed = _device_skeleton(trained_net)
+
+    assert Vh.shape == Vd.shape, (Vh.shape, Vd.shape)
+    assert Eh.shape == Ed.shape, (Eh.shape, Ed.shape)
+    # forwards run at different batch paddings on the two engines, so matmul
+    # tiling gives last-ulp output differences -> interpolation weights can
+    # differ by ~1e-6
+    np.testing.assert_allclose(Vd, Vh, atol=1e-4)
+    np.testing.assert_array_equal(Ed, Eh)
+
+
+def test_device_end_to_end(trained_net):
+    import jax.numpy as jnp
+
+    from tropical.extract.device import subpoly_device
+
+    faces, vertices, tris = subpoly_device(trained_net, verbose=False)
+    assert vertices.shape[0] > 100
+    assert tris.shape[0] > 100
+    sd = np.asarray(trained_net.sdf(jnp.asarray(vertices)))[:, 0]
+    assert np.abs(sd).max() < 2e-2

@@ -9,21 +9,7 @@ Kept small so the CPU suite stays fast.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
-
-
-@pytest.fixture(scope="module")
-def trained_net():
-    from tropical.stanford.dataset import StanfordDataset
-    from tropical.stanford.model import Net
-    from tropical.stanford.training import train
-
-    net = Net(num_layers=3, num_hidden=16, levels=4, r_min=2, r_max=16,
-              T=19, key=jax.random.PRNGKey(1))
-    ds = StanfordDataset("sphere", rng=np.random.default_rng(1),
-                         n_samples=8000)
-    train(net, ds, epochs=15, batch_size=500, verbose=False)
-    return net
+import pytest  # noqa: F401  (trained_net fixture lives in conftest)
 
 
 def test_end_to_end_extraction(trained_net):

@@ -1,0 +1,458 @@
+"""Fully on-device edge-subdivision engine (flat/force path).
+
+The host-orchestrated engine in :mod:`tropical.extract.subdivide` is exact but
+latency-bound: every neuron insertion needs device round-trips, and on a
+tunneled TPU each one costs ~25 ms.  This module re-expresses the whole
+(L-1)*H+1-step loop (reference subpoly.py:60-69) as ONE jitted XLA program
+over capacity-padded state, so a full extraction is a single dispatch plus two
+slice pulls.
+
+TPU-shaped design decisions (scatter is the enemy — XLA row scatters are
+~100x slower than gathers on v5e):
+
+- compaction is *sort- and scatter-free*: the k-th live lane is found with
+  ``searchsorted(cumsum(mask), k+1)`` (binary-search gathers),
+- all appends are contiguous ``dynamic_update_slice`` block writes,
+- future-region pruning (reference subpoly.py:253-272) needs no unique() at
+  all: ternary sign rows are packed into base-3 integer keys *elementwise*,
+  and an edge survives iff its endpoints' keys differ,
+- vertices are never renumbered during the loop (ids are creation-ordered;
+  every reference compaction is order-preserving, so the final compaction
+  yields the same order); liveness is a per-vertex bool updated by the one
+  unavoidable 1-bit scatter per step,
+- connecting-edge regions (Def. 3.4) still need grouping by unknown keys:
+  one multi-key ``lax.sort`` over the 2^zeros replica table per step, plus
+  one 2-key sort for pair dedup — these are the only sorts in the loop,
+- the 2^zeros expansion (reference subpoly.py:299-335) is a static
+  [2^KCAP, CAND] grid (KCAP=4 covers every observed vertex; overflow is
+  flagged), pairs come from a WCAP-wide sorted-run window (regions hold <=18
+  candidates empirically; overflow is flagged).
+
+Exactness: with caps respected (overflow flags returned), the result matches
+the host engine — verified in tests/test_device_engine.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tropical.core.net import NetSpec, net_outputs, preprocess
+
+R_COLS = 33  # (num_layers-1)*num_hidden + 1 for the 3x16 architecture
+D = 3
+
+OVF_V, OVF_E, OVF_C, OVF_P, OVF_K, OVF_W, OVF_H = 1, 2, 4, 8, 16, 32, 64
+
+
+@dataclass(frozen=True)
+class Caps:
+    vcap: int            # vertex buffer (never compacted during the loop)
+    ecap: int            # edge buffer (compacted every prune)
+    ccap: int            # per-step new-vertex candidates
+    hcap: int            # per-step eps-hit old-vertex candidates
+    pcap: int            # per-step same-region pair buffer
+    kcap: int = 4        # max zeros expanded per vertex (2^kcap replicas)
+    wcap: int = 24       # max candidate vertices per region (pair window)
+
+
+class State(NamedTuple):
+    V: jax.Array        # [VCAP, 3] f32
+    OUT: jax.Array      # [VCAP, R] f32
+    E: jax.Array        # [ECAP, 2] i32 (compact prefix of nE live rows)
+    aliveV: jax.Array   # [VCAP] bool
+    nV: jax.Array       # i32 (creation cursor)
+    nE: jax.Array       # i32
+    overflow: jax.Array  # i32 bitmask of OVF_* flags
+
+
+def _eps_sign(out, eps):
+    s = jnp.where(out > 0, 1, -1).astype(jnp.int32)
+    return jnp.where(jnp.abs(out) <= eps, 0, s)
+
+
+def _grid_region(marks, xu, eps):
+    """({0,1} mask, cell offset) per axis (reference tropical.py:227-236)."""
+    off = jnp.searchsorted(marks, xu + eps).astype(jnp.int32) - 1
+    wrapped = jnp.where(off < 0, off + marks.shape[0], off)
+    mark_at = jnp.take(marks, wrapped, axis=0, mode="clip")
+    mask = (jnp.abs(mark_at - xu) > eps).astype(jnp.int32)
+    return mask, off
+
+
+def _compact_lanes(mask, K: int):
+    """Indices of the first K live lanes, without sorts or scatters.
+
+    Returns (lanes [K] i32 — clipped to valid range, valid [K] bool, total).
+    """
+    cs = jnp.cumsum(mask.astype(jnp.int32))
+    total = cs[-1]
+    lanes = jnp.searchsorted(cs, jnp.arange(1, K + 1, dtype=jnp.int32))
+    valid = jnp.arange(K, dtype=jnp.int32) < total
+    return jnp.where(valid, lanes, 0).astype(jnp.int32), valid, total
+
+
+def _pack_base3(signs, col_active):
+    """Pack 33 ternary sign columns into 3 int32 keys (11 base-3 digits each).
+
+    Inactive columns contribute a constant digit, so they never split groups.
+    Equal keys <=> equal active sign rows (exact encoding, no hashing).
+    """
+    digits = jnp.where(col_active[None, :], signs + 1, 0)
+    keys = []
+    for g in range(3):
+        k = jnp.zeros(signs.shape[0], jnp.int32)
+        for j in range(11):
+            k = k * 3 + digits[:, g * 11 + j]
+        keys.append(k)
+    return keys
+
+
+def make_step_fn(spec: NetSpec, caps: Caps, eps: float):
+    VCAP, ECAP, CCAP, HCAP, PCAP = (caps.vcap, caps.ecap, caps.ccap,
+                                    caps.hcap, caps.pcap)
+    KCAP, WCAP = caps.kcap, caps.wcap
+    PREP = 1 << KCAP
+    CAND = CCAP + HCAP
+
+    def step(params, marks, state: State, idx, prune: bool) -> State:
+        V, OUT, E, aliveV, nV, nE, ovf = state
+        e_lane = jnp.arange(ECAP, dtype=jnp.int32)
+        valid_e = e_lane < nE
+
+        # --- 1. sign-change split mask (reference subpoly.py:102-105) -------
+        outcol = jnp.take(OUT, idx, axis=1)            # [VCAP]
+        d0 = outcol[E[:, 0]]
+        d1 = outcol[E[:, 1]]
+        split = valid_e & ((d0 * d1) < 0) \
+            & (jnp.abs(d0) > eps) & (jnp.abs(d1) > eps)
+
+        # --- 2. compact split edges into the candidate block -----------------
+        lanes, cval, n_split = _compact_lanes(split, CCAP)
+        ovf = ovf | jnp.where(n_split > CCAP, OVF_C, 0)
+        ovf = ovf | jnp.where(nV + n_split > VCAP - CCAP, OVF_V, 0)
+        ce0 = E[lanes, 0]
+        ce1 = E[lanes, 1]
+        cd0 = d0[lanes]
+        cd1 = jnp.where(cval, d1[lanes], 1.0)
+
+        # --- 3. linear interpolation (subpoly.py:117,180) ---------------------
+        wgt = jnp.abs(cd0) / jnp.maximum(jnp.abs(cd1 - cd0), 1e-30)
+        v0 = V[ce0]
+        v1 = V[ce1]
+        cand_v = v0 * (1 - wgt[:, None]) + v1 * wgt[:, None]
+
+        # --- 4. forward on the new vertices -----------------------------------
+        cand_out = net_outputs(spec, params, cand_v)   # [CCAP, R]
+
+        # --- 5. sign-override failover (subpoly_debug.py:33-51) ---------------
+        sgn0 = _eps_sign(OUT[ce0], eps)
+        sgn1 = _eps_sign(OUT[ce1], eps)
+        col = jnp.arange(R_COLS, dtype=jnp.int32)[None, :]
+        b = ((sgn0 == 0) & (sgn1 == 0) & (col < idx)) | (col == idx)
+        viol = (cval[:, None] & b & (jnp.abs(cand_out) > eps)).any()
+        cand_out = jnp.where(viol & b, 0.0, cand_out)
+
+        # --- 6. append new vertices (contiguous block writes) ------------------
+        start_v = jnp.minimum(nV, VCAP - CCAP)  # clamp keeps shapes in range;
+        # an out-of-range start is already flagged OVF_V above
+        V = jax.lax.dynamic_update_slice(V, cand_v, (start_v, 0))
+        OUT = jax.lax.dynamic_update_slice(OUT, cand_out, (start_v, 0))
+        aliveV = jax.lax.dynamic_update_slice(aliveV, cval, (start_v,))
+
+        # --- 7. edge rewrite + right-edge append (subpoly.py:210-215) ----------
+        rank = jnp.cumsum(split.astype(jnp.int32)) - 1
+        new_id = nV + rank
+        old_second = E[lanes, 1]
+        E = jnp.stack([E[:, 0], jnp.where(split, new_id, E[:, 1])], axis=-1)
+        e_app = jnp.stack(
+            [jnp.where(cval, old_second, 0),
+             jnp.where(cval, nV + jnp.arange(CCAP, dtype=jnp.int32), 0)],
+            axis=-1)
+        start_e = jnp.minimum(nE, ECAP - CCAP)
+        ovf = ovf | jnp.where(nE + n_split > ECAP - CCAP, OVF_E, 0)
+        # only the first n_split rows are real; the rest are zeros that the
+        # next append overwrites (nE advances by n_split only)
+        E = jax.lax.dynamic_update_slice(E, e_app, (start_e, 0))
+        nE2 = nE + n_split
+        nV2 = nV + n_split
+
+        # --- 8. candidates for connecting edges: new + eps-hit old vertices ----
+        #     (subpoly.py:232-239); hits are *live* old vertices only
+        v_lane = jnp.arange(VCAP, dtype=jnp.int32)
+        hit = aliveV & (v_lane < nV) & (jnp.abs(outcol) < eps)
+        hlanes, hval, n_hit = _compact_lanes(hit, HCAP)
+        ovf = ovf | jnp.where(n_hit > HCAP, OVF_H, 0)
+
+        # region data: new block from cand_v/cand_out, hit block from V/OUT
+        hv = V[hlanes]
+        hout = OUT[hlanes]
+        all_v = jnp.concatenate([cand_v, hv], axis=0)          # [CAND, 3]
+        all_out = jnp.concatenate([cand_out, hout], axis=0)    # [CAND, R]
+        all_vid = jnp.concatenate(
+            [nV + jnp.arange(CCAP, dtype=jnp.int32), hlanes])
+        all_valid = jnp.concatenate([cval, hval])
+
+        xu = preprocess(spec, all_v)
+        cand_g, cand_o = _grid_region(marks, xu, eps)           # [CAND, 3]
+        cand_s = _eps_sign(all_out, eps)                        # [CAND, R]
+        # active neuron columns: col < idx (current plane excluded;
+        # reference subpoly.py:187 splits at m_idx)
+        cand_s = jnp.where(col < idx, cand_s, 1)
+
+        # --- 9. 2^zeros region expansion (subpoly.py:299-335) ------------------
+        allcols = jnp.concatenate([cand_g, cand_s], axis=1)     # [CAND, 36]
+        is_zero = allcols == 0
+        kz = is_zero.sum(-1)
+        ovf = ovf | jnp.where((all_valid & (kz > KCAP)).any(), OVF_K, 0)
+        zrank = jnp.cumsum(is_zero.astype(jnp.int32), axis=1) - 1
+
+        p = jnp.arange(PREP, dtype=jnp.int32)[:, None, None]    # [P,1,1]
+        bit = (p >> jnp.clip(zrank, 0, KCAP - 1)[None]) & 1
+        sub = jnp.where(bit > 0, 1, -1)
+        vals = jnp.where(is_zero[None], sub, allcols[None])     # [P,CAND,36]
+        gd = (vals[:, :, :D] - 1) // 2 + cand_o[None]           # grid digits
+        nb = (vals[:, :, D:] + 1) // 2                          # neuron bits
+
+        rep_valid = all_valid[None, :] & (
+            p[:, :, 0] < (1 << jnp.minimum(kz, KCAP))[None, :])
+
+        k1 = ((gd[..., 0] + 1) + ((gd[..., 1] + 1) << 10)
+              + ((gd[..., 2] + 1) << 20))
+        k2 = jnp.zeros(gd.shape[:2], jnp.int32)
+        for j in range(16):
+            k2 = k2 | (nb[..., j] << j)
+        k3 = jnp.zeros(gd.shape[:2], jnp.int32)
+        for j in range(17):
+            k3 = k3 | (nb[..., 16 + j] << j)
+        big = jnp.int32(2 ** 30)
+        k1 = jnp.where(rep_valid, k1, big)   # invalid replicas sort last
+
+        rows = jnp.broadcast_to(
+            jnp.arange(CAND, dtype=jnp.int32)[None], k1.shape)
+        k1f, k2f, k3f, rowf = (x.reshape(-1) for x in (k1, k2, k3, rows))
+        sk1, sk2, sk3, srow = jax.lax.sort((k1f, k2f, k3f, rowf), num_keys=3)
+
+        # --- 10. same-region pairs from a sorted-run window --------------------
+        svalid = sk1 < big
+        pa, pb, pok = [], [], []
+        for o in range(1, WCAP + 1):
+            same = (sk1[o:] == sk1[:-o]) & (sk2[o:] == sk2[:-o]) \
+                & (sk3[o:] == sk3[:-o]) & svalid[o:]
+            pa.append(jnp.pad(srow[o:], (0, o)))
+            pb.append(jnp.pad(srow[:-o], (0, o)))
+            pok.append(jnp.pad(same, (0, o)))
+        pa = jnp.concatenate(pa)
+        pb = jnp.concatenate(pb)
+        pok = jnp.concatenate(pok)
+        if WCAP < sk1.shape[0]:
+            long_run = (sk1[WCAP:] == sk1[:-WCAP]) & (sk2[WCAP:] == sk2[:-WCAP]) \
+                & (sk3[WCAP:] == sk3[:-WCAP]) & svalid[WCAP:]
+            ovf = ovf | jnp.where(long_run.any(), OVF_W, 0)
+
+        plane_ok_lanes, p_valid, n_pairs = _compact_lanes(pok, PCAP)
+        ovf = ovf | jnp.where(n_pairs > PCAP, OVF_P, 0)
+        cpa = pa[plane_ok_lanes]
+        cpb = pb[plane_ok_lanes]
+
+        # --- 11. shared-plane filter (subpoly.py:524-533) ----------------------
+        ga = cand_g[cpa] == 0
+        gb = cand_g[cpb] == 0
+        sa = cand_s[cpa] == 0
+        sb = cand_s[cpb] == 0
+        zero_counts = (ga & gb).sum(-1) + (sa & sb).sum(-1)
+        zero_counts = zero_counts - (
+            (ga & gb) & (cand_o[cpa] != cand_o[cpb])).sum(-1)
+        va = all_vid[cpa]
+        vb = all_vid[cpb]
+        keep_pair = p_valid & (zero_counts >= 1) & (va != vb)
+
+        # --- 12. dedup + append connecting edges (subpoly.py:241-250) ----------
+        lo = jnp.where(keep_pair, jnp.minimum(va, vb), jnp.int32(VCAP))
+        hi = jnp.where(keep_pair, jnp.maximum(va, vb), jnp.int32(VCAP))
+        slo, shi = jax.lax.sort((lo, hi), num_keys=2)
+        first = jnp.concatenate([
+            jnp.ones(1, bool),
+            (slo[1:] != slo[:-1]) | (shi[1:] != shi[:-1])])
+        uniq = first & (slo < VCAP)
+        ulanes, uval, n_conn = _compact_lanes(uniq, CCAP)
+        ovf = ovf | jnp.where(n_conn > CCAP, OVF_C, 0)
+        c_app = jnp.stack([jnp.where(uval, slo[ulanes], 0),
+                           jnp.where(uval, shi[ulanes], 0)], axis=-1)
+        start_e2 = jnp.minimum(nE2, ECAP - CCAP)
+        ovf = ovf | jnp.where(nE2 + n_conn > ECAP - CCAP, OVF_E, 0)
+        E = jax.lax.dynamic_update_slice(E, c_app, (start_e2, 0))
+        nE3 = nE2 + n_conn
+
+        state = State(V, OUT, E, aliveV, nV2, nE3, ovf)
+        if prune:
+            state = _prune(state, idx, eps)
+        return state
+
+    def _prune(state: State, idx, eps) -> State:
+        """Drop edges whose endpoints share identical future sign vectors;
+        mark dead vertices (reference subpoly.py:253-277) — no sorts needed:
+        region equality is key equality of the base-3 packed sign rows."""
+        V, OUT, E, aliveV, nV, nE, ovf = state
+        e_lane = jnp.arange(ECAP, dtype=jnp.int32)
+        valid_e = e_lane < nE
+
+        col = jnp.arange(R_COLS, dtype=jnp.int32)
+        future = col >= idx              # m[:, m_idx:] (subpoly.py:256-258)
+        k1, k2, k3 = _pack_base3(_eps_sign(OUT, eps), future)
+
+        differ = (k1[E[:, 0]] != k1[E[:, 1]]) | (k2[E[:, 0]] != k2[E[:, 1]]) \
+            | (k3[E[:, 0]] != k3[E[:, 1]])
+        keep = valid_e & differ
+
+        # compact edges, preserving order (reference edge order is preserved)
+        lanes, val, n_keep = _compact_lanes(keep, ECAP)
+        E = jnp.where(val[:, None], E[lanes], 0)
+        nE = n_keep
+
+        # vertices used by surviving edges (the one scatter in the loop)
+        used = jnp.zeros(VCAP, bool)
+        etgt0 = jnp.where(val, E[:, 0], VCAP)
+        etgt1 = jnp.where(val, E[:, 1], VCAP)
+        used = used.at[etgt0].set(True, mode="drop")
+        used = used.at[etgt1].set(True, mode="drop")
+
+        return State(V, OUT, E, used, nV, nE, ovf)
+
+    return step, _prune
+
+
+def make_extract_fn(spec: NetSpec, caps: Caps, eps: float):
+    """One jitted program: 32 hidden insertions + the final-layer insertion +
+    the |sdf|<eps skeleton filter (reference subpoly.py:60-74,556-581)."""
+    step, _ = make_step_fn(spec, caps, eps)
+    VCAP, ECAP = caps.vcap, caps.ecap
+    n_hidden_steps = (spec.num_layers - 1) * spec.num_hidden
+
+    @jax.jit
+    def extract(params, marks, V0, OUT0, E0, nV0, nE0):
+        aliveV0 = jnp.arange(VCAP, dtype=jnp.int32) < nV0
+        state = State(V0, OUT0, E0, aliveV0, nV0, nE0, jnp.int32(0))
+
+        def body(i, st):
+            return step(params, marks, st, i, prune=True)
+
+        state = jax.lax.fori_loop(0, n_hidden_steps, body, state)
+        # final layer (h == num_hidden): no pruning (subpoly.py:67-69,253)
+        state = step(params, marks, state, jnp.int32(n_hidden_steps),
+                     prune=False)
+
+        # extract_skeleton: |last col| < eps, inside [0,1]^D (subpoly.py:556-581)
+        V, OUT, E, aliveV, nV, nE, ovf = state
+        e_lane = jnp.arange(ECAP, dtype=jnp.int32)
+        xu = preprocess(spec, V)
+        keep_v = aliveV & (jnp.abs(OUT[:, -1]) < eps) \
+            & (xu <= 1).all(-1) & (xu >= 0).all(-1)
+        e_keep = (e_lane < nE) & keep_v[E[:, 0]] & keep_v[E[:, 1]]
+
+        # final vertex set: only vertices used by surviving edges
+        used = jnp.zeros(VCAP, bool)
+        used = used.at[jnp.where(e_keep, E[:, 0], VCAP)].set(True, mode="drop")
+        used = used.at[jnp.where(e_keep, E[:, 1], VCAP)].set(True, mode="drop")
+        new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
+
+        vlanes, vval, n_used = _compact_lanes(used, VCAP)
+        V = jnp.where(vval[:, None], V[vlanes], 0)
+        OUT = jnp.where(vval[:, None], OUT[vlanes], 0)
+
+        elanes, eval_, n_ekeep = _compact_lanes(e_keep, ECAP)
+        E = jnp.where(eval_[:, None], new_index[E[elanes]], 0)
+
+        return V, OUT, E, n_used, n_ekeep, ovf
+
+    return extract
+
+
+def _pow2(n: int, minimum: int = 1024) -> int:
+    n = max(int(n), minimum)
+    return 1 << (n - 1).bit_length()
+
+
+def default_caps(n_vertices: int, n_edges: int) -> Caps:
+    """Caps sized from the initial skeleton.  The vertex pool must hold every
+    vertex ever created (no renumbering); the edge pool is compacted each
+    prune, so headroom over the live maximum suffices."""
+    ccap = max(_pow2(n_edges // 8, 4096), 4096)
+    vcap = _pow2(int(n_vertices * 1.6) + 2 * ccap)
+    ecap = _pow2(int(n_edges * 1.3) + 2 * ccap)
+    return Caps(vcap=vcap, ecap=ecap, ccap=ccap, hcap=max(ccap // 4, 2048),
+                pcap=max(8 * ccap, 65536))
+
+
+_EXTRACT_CACHE: dict = {}
+
+
+def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
+                   verbose: bool = True, caps: Caps | None = None):
+    """Drop-in fast path for ``subpoly(..., force=True)``.
+
+    Returns (faces [T,3,3], vertices [V,3], triangles [T,3]).  Retries with
+    enlarged caps if any capacity overflowed.
+    """
+    from tropical.extract.faces import extract_faces
+    from tropical.extract.skeleton import get_hypercube, grid_skeleton
+
+    V0, E0 = grid_skeleton(net)
+    if E0.shape[0] == 0:
+        V0, E0, _ = get_hypercube(d, size)
+
+    out0 = np.asarray(net.outputs(jnp.asarray(V0)))
+
+    caps = caps or default_caps(V0.shape[0], E0.shape[0])
+    for _attempt in range(4):
+        key = (net.spec, caps, eps)
+        if key not in _EXTRACT_CACHE:
+            _EXTRACT_CACHE[key] = make_extract_fn(net.spec, caps, eps)
+        extract = _EXTRACT_CACHE[key]
+
+        Vp = np.zeros((caps.vcap, 3), np.float32)
+        Vp[:V0.shape[0]] = V0
+        Op = np.zeros((caps.vcap, R_COLS), np.float32)
+        Op[:V0.shape[0]] = out0
+        Ep = np.zeros((caps.ecap, 2), np.int32)
+        Ep[:E0.shape[0]] = E0
+
+        V, OUT, E, nV, nE, ovf = extract(
+            net.params, net.marks, Vp, Op, Ep,
+            np.int32(V0.shape[0]), np.int32(E0.shape[0]))
+        ovf = int(ovf)
+        if ovf == 0:
+            break
+        caps = Caps(vcap=caps.vcap * (2 if ovf & OVF_V else 1),
+                    ecap=caps.ecap * (2 if ovf & OVF_E else 1),
+                    ccap=caps.ccap * (2 if ovf & OVF_C else 1),
+                    hcap=caps.hcap * (2 if ovf & OVF_H else 1),
+                    pcap=caps.pcap * (2 if ovf & OVF_P else 1),
+                    kcap=caps.kcap + (1 if ovf & OVF_K else 0),
+                    wcap=caps.wcap * (2 if ovf & OVF_W else 1))
+        if verbose:
+            print(f"[device-extract] overflow mask {ovf}; retrying with {caps}")
+    else:
+        raise RuntimeError(f"extraction exceeded caps after retries: {caps}")
+
+    n_v = int(nV)
+    n_e = int(nE)
+    vertices = np.asarray(V[:n_v])
+    outputs = np.asarray(OUT[:n_v])
+    edges = np.asarray(E[:n_e]).astype(np.int64)
+
+    if verbose:
+        print(f"{vertices.shape[0]}/{edges.shape[0]}", end=", ")
+
+    if n_v == 0:
+        return (np.empty((0, 3, 3), np.float32), vertices,
+                np.empty((0, 3), np.int64))
+
+    faces, tris = extract_faces(vertices, edges, net, outputs, eps)
+    if verbose:
+        print(f"{len(faces)} faces", end=", ")
+    return faces, vertices, tris

@@ -203,11 +203,27 @@ def subpoly_(vertices: np.ndarray, edges: np.ndarray, net, l: int, h: int,
 
 
 def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
-            verbose: bool = True) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+            verbose: bool = True, engine: str = "auto"
+            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full subdivision-polygons extraction (reference subpoly.py:23-86).
 
     Returns (face_positions [T,3,3], vertices [V,3], triangles [T,3]).
+
+    engine: "auto" uses the fused on-device loop (tropical/extract/device.py)
+    for the flat/force path — one XLA dispatch for all 33 insertions — and the
+    host-orchestrated loop otherwise; "host"/"device" force a choice.
     """
+    if engine == "auto":
+        engine = "device" if force else "host"
+    if engine == "device":
+        assert force, "the fused device engine implements the force path"
+        from tropical.extract.device import subpoly_device
+
+        if verbose:
+            print()
+            print("# of vertices and edges = ", end="")
+        return subpoly_device(net, d, size, eps, verbose=verbose)
+
     with PHASES("skeleton"):
         vertices, edges = grid_skeleton(net)
     if edges.shape[0] == 0:
