@@ -12,10 +12,11 @@ module there); the implementation is a new TPU-first design:
 - polynomial roots are closed-form/bracketed (no LAPACK eig on TPU).
 """
 
-from tropical.core.hashgrid import HashGridSpec, TropicalHashGrid
+from tropical.core.hashgrid import HashGridSpec, Tropical, TropicalHashGrid
 from tropical.version import __version__
 
-__all__ = ["HashGridSpec", "TropicalHashGrid", "deprecated", "__version__"]
+__all__ = ["HashGridSpec", "Tropical", "TropicalHashGrid", "deprecated",
+           "__version__"]
 
 
 def deprecated(arg=None):

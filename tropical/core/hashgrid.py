@@ -241,6 +241,12 @@ class TropicalHashGrid:
             rem = rem - q * (L ** i)
         return jnp.stack(out, axis=-1)
 
+    def skeleton(self, net, unit: int = 128):
+        """Initial pruned edge skeleton (reference tropical.py:158-225)."""
+        from tropical.extract.skeleton import grid_skeleton
+
+        return grid_skeleton(net, unit)
+
     def region(self, x: jax.Array, eps: float | None = None):
         """Eps-tolerant per-axis cell index + on-plane mask.
 
@@ -255,3 +261,32 @@ class TropicalHashGrid:
         mark_at = jnp.take(marks, wrapped, axis=0, mode="clip")
         mask = (jnp.abs(mark_at - x) > eps).astype(jnp.int32)
         return mask, offset.astype(jnp.int32)
+
+
+class Tropical:
+    """Generic module wrapper (API parity with reference tropical.py:242-281).
+
+    Wraps any object exposing a ``TropicalHashGrid`` (via ``.enc``) and
+    provides the starting skeleton; falls back to a hypercube otherwise.
+    """
+
+    def __init__(self, module, dim: int = 3, scale: float = 1.0):
+        self.module = module
+        self.dim = dim
+        self.scale = scale
+
+    def region(self, x):
+        raise NotImplementedError
+
+    def grid(self):
+        enc = getattr(self.module, "enc", None)
+        if isinstance(enc, TropicalHashGrid):
+            return enc.skeleton(self.module)
+        vertices, edges, _ = self.get_hypercube(self.dim, self.scale / 2)
+        return vertices, edges
+
+    @staticmethod
+    def get_hypercube(d: int, size: float):
+        from tropical.extract.skeleton import get_hypercube
+
+        return get_hypercube(d, size)

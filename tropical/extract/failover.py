@@ -11,15 +11,54 @@ from __future__ import annotations
 import numpy as np
 
 
-def nonzero_last(mask2d: np.ndarray) -> np.ndarray:
-    """[rows-with-any-True, (row, last-True-col)] (reference torch_ext.py:18-29)."""
-    mask2d = np.asarray(mask2d, bool)
-    any_ = mask2d.any(axis=1)
-    if mask2d.shape[1] == 0:
-        return np.empty((0, 2), np.int64)
-    cols = mask2d.shape[1] - 1 - np.argmax(mask2d[:, ::-1], axis=1)
-    rows = np.nonzero(any_)[0]
-    return np.stack([rows, cols[any_]], axis=1).astype(np.int64)
+from tropical.core.ext import nonzero_last  # noqa: F401 (re-export)
+
+
+def check_new_vertices_on_two_planes(edges_m, _regions, _offset, l, h, c, idx,
+                                     verbose: bool = True) -> int:
+    """Both endpoints of every curved edge must share >= 2 planes
+    (reference subpoly_debug.py:80-105). Returns the violation count."""
+    m_rgn = _regions[edges_m][c][:, :, :3 + idx]
+    offset = _offset[edges_m][c]
+    chk = (m_rgn[:, 0] == 0) & (m_rgn[:, 1] == 0)
+    chk[:, :3] &= offset[:, 0] == offset[:, 1]
+    counts = chk.sum(-1)
+    bad = int((counts < 2).sum())
+    if bad and verbose:
+        print("warning: two vertices of an edge must be on at least two "
+              f"planes! {bad} / {counts.size} {l}/{h}")
+    return bad
+
+
+def check_planary_among_vertices(vertices, v_indices, null_value: int = -1,
+                                 eps: float = 1e-4) -> int:
+    """Region polygons must be planar (reference subpoly_debug.py:54-77).
+
+    Returns the number of non-planar region rows (no pdb trap)."""
+    safe = np.where(v_indices == null_value, 0, v_indices)
+    points = vertices[safe]
+    points[v_indices == null_value] = 0
+    counts = (v_indices != null_value).sum(-1)
+    bad = 0
+    for r in range(points.shape[0]):
+        k = counts[r]
+        if k < 4:
+            continue
+        p = points[r, :k]
+        n = np.cross(p[1] - p[0], p[2] - p[0])
+        nn = np.linalg.norm(n)
+        if nn < 1e-12:
+            continue
+        n /= nn
+        for i in range(3, k):
+            v = np.cross(p[1] - p[0], p[i] - p[0])
+            nv = np.linalg.norm(v)
+            if nv < 1e-12:
+                continue
+            if abs(np.dot(n, v / nv)) < 1 - eps:
+                bad += 1
+                break
+    return bad
 
 
 def sign_override(edges_m: np.ndarray, _regions: np.ndarray, _offset: np.ndarray,

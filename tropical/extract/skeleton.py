@@ -28,8 +28,22 @@ def get_hypercube(d: int, size: float):
     return vertices, np.asarray(edges, np.int64), faces
 
 
-def grid_skeleton(net, unit: int = 128) -> Tuple[np.ndarray, np.ndarray]:
+AXIS_SLICES = (((slice(1, None), slice(None), slice(None)),
+                (slice(None, -1), slice(None), slice(None))),
+               ((slice(None), slice(1, None), slice(None)),
+                (slice(None), slice(None, -1), slice(None))),
+               ((slice(None), slice(None), slice(1, None)),
+                (slice(None), slice(None), slice(None, -1))))
+
+
+def grid_skeleton(net, unit: int = 128, mode: str = "distance"
+                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Pruned initial skeleton (reference tropical.py:158-225).
+
+    ``mode`` selects the pruning strategy (reference PRUNING_MODE switch,
+    tropical.py:188-204): "distance" keeps lattice edges within the Lipschitz
+    bound eps = sqrt(3)*2*max_cell*max_grad of the surface; "sign" keeps edges
+    whose endpoint sign vectors differ; "none" keeps everything.
 
     Returns (vertices [V,3] world coords float32, edges [E,2] int64 with
     compacted vertex ids).
@@ -51,24 +65,39 @@ def grid_skeleton(net, unit: int = 128) -> Tuple[np.ndarray, np.ndarray]:
                     np.meshgrid(*axes, indexing="ij"), axis=-1)  # [U,U,U,3]
                 x = net.preprocess_inverse(marks[indices].reshape(-1, 3))
 
-                sdf, grad = net.sdf_and_grad(jnp.asarray(x))
-                max_grad = float(np.linalg.norm(np.asarray(grad), axis=-1).max())
-                dist = np.abs(np.asarray(sdf))[:, 0].reshape(indices.shape[:-1])
-
-                eps = np.sqrt(3.0) * 2 * max_len * max_grad
                 serial = (indices[..., 0] * L * L
                           + indices[..., 1] * L
                           + indices[..., 2]).astype(np.int64)
 
-                for sl_a, sl_b in (((slice(1, None), slice(None), slice(None)),
-                                    (slice(None, -1), slice(None), slice(None))),
-                                   ((slice(None), slice(1, None), slice(None)),
-                                    (slice(None), slice(None, -1), slice(None))),
-                                   ((slice(None), slice(None), slice(1, None)),
-                                    (slice(None), slice(None), slice(None, -1)))):
-                    m = (dist[sl_a] <= eps) & (dist[sl_b] <= eps)
-                    edge_chunks.append(np.stack(
-                        [serial[sl_a][m], serial[sl_b][m]], axis=-1))
+                if mode == "distance":
+                    sdf, grad = net.sdf_and_grad(jnp.asarray(x))
+                    max_grad = float(
+                        np.linalg.norm(np.asarray(grad), axis=-1).max())
+                    dist = np.abs(np.asarray(sdf))[:, 0].reshape(
+                        indices.shape[:-1])
+                    eps = np.sqrt(3.0) * 2 * max_len * max_grad
+                    for sl_a, sl_b in AXIS_SLICES:
+                        m = (dist[sl_a] <= eps) & (dist[sl_b] <= eps)
+                        edge_chunks.append(np.stack(
+                            [serial[sl_a][m], serial[sl_b][m]], axis=-1))
+                elif mode == "sign":
+                    # neuron sign vectors differ across the edge
+                    # (reference _skeleton, tropical.py:81-111)
+                    out = np.asarray(net.outputs(jnp.asarray(x)))
+                    sgn = np.where(out > 0, 1, -1).astype(np.int8)
+                    sgn[np.abs(out) <= net.eps] = 0
+                    future = sgn.reshape(*indices.shape[:-1], -1)
+                    for sl_a, sl_b in AXIS_SLICES:
+                        m = (future[sl_a] != future[sl_b]).sum(-1) > 0
+                        edge_chunks.append(np.stack(
+                            [serial[sl_a][m], serial[sl_b][m]], axis=-1))
+                elif mode == "none":
+                    for sl_a, sl_b in AXIS_SLICES:
+                        edge_chunks.append(np.stack(
+                            [serial[sl_a].reshape(-1),
+                             serial[sl_b].reshape(-1)], axis=-1))
+                else:
+                    raise ValueError(f"unknown pruning mode {mode!r}")
 
     edges = np.concatenate(edge_chunks, axis=0)
     if edges.shape[0] == 0:
