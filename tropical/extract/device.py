@@ -126,6 +126,10 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
     CAND = CCAP + HCAP
 
     def step(params, marks, state: State, idx, prune: bool) -> State:
+        """One insertion.  Steps whose plane splits no edge return unchanged
+        (reference subpoly.py:110-111) — in practice ~2/3 of all steps — via
+        lax.cond, so idle steps cost one gather pass instead of the full
+        pipeline."""
         V, OUT, E, aliveV, aliveE, nV, nE, ovf = state
 
         # --- 1. sign-change split mask (reference subpoly.py:102-105) -------
@@ -134,6 +138,17 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         d1 = outcol[E[:, 1]]
         split = aliveE & ((d0 * d1) < 0) \
             & (jnp.abs(d0) > eps) & (jnp.abs(d1) > eps)
+
+        return jax.lax.cond(
+            split.any(),
+            lambda st: _busy_step(params, marks, st, idx, prune,
+                                  outcol, d0, d1, split),
+            lambda st: st,
+            state)
+
+    def _busy_step(params, marks, state: State, idx, prune: bool,
+                   outcol, d0, d1, split) -> State:
+        V, OUT, E, aliveV, aliveE, nV, nE, ovf = state
 
         # --- 2. compact split edges into the candidate block -----------------
         lanes, cval, n_split = _compact_lanes(split, CCAP)
@@ -421,6 +436,10 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
     return extract
 
 
+def _round_up(n: int, m: int = 8192) -> int:
+    return ((int(n) + m - 1) // m) * m
+
+
 def _pow2(n: int, minimum: int = 1024) -> int:
     n = max(int(n), minimum)
     return 1 << (n - 1).bit_length()
@@ -430,12 +449,15 @@ def default_caps(n_vertices: int, n_edges: int) -> Caps:
     """Caps sized from the initial skeleton.  Vertex/edge pools hold
     everything ever created (no mid-loop compaction); per-step buffers come
     from the observed workload shape (SURVEY-derived stats: splits per step
-    <= ~6% of edges, zeros per vertex <= 4, region size <= 18)."""
-    ccap = max(_pow2(n_edges // 8, 8192), 8192)
-    vcap = _pow2(int(n_vertices * 1.3) + 6 * ccap)
-    ecap = _pow2(int(n_edges * 1.2) + 12 * ccap)
-    return Caps(vcap=vcap, ecap=ecap, ccap=ccap, hcap=max(ccap // 4, 2048),
-                pcap=max(4 * ccap, 65536))
+    <= ~6% of edges, zeros per vertex <= 4, region size <= 18).  Sizes are
+    8192-multiples, not powers of two — every buffer lane costs real work
+    each step, so tight beats round."""
+    ccap = _round_up(max(n_edges // 12, 8192))
+    vcap = _round_up(int(n_vertices * 1.15) + 3 * ccap)
+    ecap = _round_up(int(n_edges * 1.2) + 8 * ccap)
+    return Caps(vcap=vcap, ecap=ecap, ccap=ccap,
+                hcap=_round_up(max(ccap // 4, 2048), 2048),
+                pcap=_round_up(max(4 * ccap, 65536)))
 
 
 _EXTRACT_CACHE: dict = {}
@@ -455,7 +477,10 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     if E0.shape[0] == 0:
         V0, E0, _ = get_hypercube(d, size)
 
-    out0 = np.asarray(net.outputs(jnp.asarray(V0)))
+    # initial outputs stay on device: pad/concat there, never pull them
+    V0d = jnp.asarray(np.asarray(V0, np.float32))
+    E0d = jnp.asarray(np.asarray(E0, np.int32))
+    out0 = net.outputs(V0d)
 
     caps = caps or default_caps(V0.shape[0], E0.shape[0])
     for _attempt in range(4):
@@ -464,12 +489,12 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             _EXTRACT_CACHE[key] = make_extract_fn(net.spec, caps, eps)
         extract = _EXTRACT_CACHE[key]
 
-        Vp = np.zeros((caps.vcap, 3), np.float32)
-        Vp[:V0.shape[0]] = V0
-        Op = np.zeros((caps.vcap, R_COLS), np.float32)
-        Op[:V0.shape[0]] = out0
-        Ep = np.zeros((caps.ecap, 2), np.int32)
-        Ep[:E0.shape[0]] = E0
+        Vp = jnp.zeros((caps.vcap, 3), jnp.float32)
+        Vp = jax.lax.dynamic_update_slice(Vp, V0d, (0, 0))
+        Op = jnp.zeros((caps.vcap, R_COLS), jnp.float32)
+        Op = jax.lax.dynamic_update_slice(Op, out0, (0, 0))
+        Ep = jnp.zeros((caps.ecap, 2), jnp.int32)
+        Ep = jax.lax.dynamic_update_slice(Ep, E0d, (0, 0))
 
         V, OUT, E, nV, nE, ovf = extract(
             net.params, net.marks, Vp, Op, Ep,

@@ -45,7 +45,18 @@ def _pad_pts(x: np.ndarray, chunk: int) -> np.ndarray:
 
 
 def min_nn_distance(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """For each point in x, the distance to its nearest neighbour in y."""
+    """For each point in x, the distance to its nearest neighbour in y.
+
+    Uses the MXU matmul formulation (tropical/ops/chamfer_pallas.py); the
+    broadcast-difference scan below is kept as the reference implementation
+    for tests."""
+    from tropical.ops.chamfer_pallas import min_nn_distance as fast
+
+    return fast(x, y)
+
+
+def min_nn_distance_scan(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Reference VPU implementation (broadcast-diff scan)."""
     from tropical.core.buffers import padded_apply
 
     xb = jnp.asarray(np.asarray(x, np.float32))
