@@ -53,7 +53,9 @@ def main():
 
     net = get_net()
 
-    # warm-up: populate XLA compile caches for every bucket shape
+    # warm-up twice: the first call sizes the caps (host-skeleton path) and
+    # compiles the loop; the second compiles the fused device-skeleton path
+    subpoly(net, 3, 1.2, force=True, verbose=False)
     subpoly(net, 3, 1.2, force=True, verbose=False)
 
     times = []

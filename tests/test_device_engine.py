@@ -74,3 +74,10 @@ def test_device_end_to_end(trained_net):
     assert tris.shape[0] > 100
     sd = np.asarray(trained_net.sdf(jnp.asarray(vertices)))[:, 0]
     assert np.abs(sd).max() < 2e-2
+
+    # second call takes the fused on-device skeleton path (caps memoized);
+    # results must match the host-skeleton first call
+    faces2, vertices2, tris2 = subpoly_device(trained_net, verbose=False)
+    assert vertices2.shape == vertices.shape
+    assert tris2.shape == tris.shape
+    np.testing.assert_allclose(vertices2, vertices, atol=1e-4)

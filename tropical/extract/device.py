@@ -57,8 +57,10 @@ class Caps:
     ccap: int            # per-step new-vertex candidates
     hcap: int            # per-step eps-hit old-vertex candidates
     pcap: int            # per-step same-region pair buffer
-    kcap: int = 4        # max zeros expanded per vertex (2^kcap replicas)
-    wcap: int = 24       # max candidate vertices per region (pair window)
+    kcap: int = 5        # max zeros expanded per vertex (2^kcap replicas;
+    #                      lattice hit vertices sit on 3 grid + >=1 neuron
+    #                      planes, so 4-5 zeros occur routinely)
+    wcap: int = 32       # max candidate vertices per region (pair window)
 
 
 class State(NamedTuple):
@@ -244,44 +246,66 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         for dax in range(D):
             go = go | ((cand_g[:, dax] == 0).astype(jnp.uint32) << (27 + dax))
 
-        # --- 9. 2^zeros region expansion (subpoly.py:299-335) ------------------
+        # --- 9. 2^zeros region expansion (subpoly.py:299-335), two tiers -------
+        # The bulk of candidates lie on exactly 2 planes (parent-edge plane +
+        # a grid/neuron coincidence) -> 4 replicas; lattice hit vertices sit
+        # on 3 grid planes + neuron planes -> up to 2^KCAP replicas, but they
+        # are few.  Tier A expands every candidate 4x; tier B re-expands the
+        # rare high-zero rows 2^KCAP x in a small side buffer.
         allcols = jnp.concatenate([cand_g, cand_s], axis=1)     # [CAND, 36]
         is_zero = allcols == 0
         kz = is_zero.sum(-1)
         ovf = ovf | jnp.where((all_valid & (kz > KCAP)).any(), OVF_K, 0)
         zrank = jnp.cumsum(is_zero.astype(jnp.int32), axis=1) - 1
 
-        p = jnp.arange(PREP, dtype=jnp.int32)[:, None, None]    # [P,1,1]
-        bit = (p >> jnp.clip(zrank, 0, KCAP - 1)[None]) & 1
-        sub = jnp.where(bit > 0, 1, -1)
-        vals = jnp.where(is_zero[None], sub, allcols[None])     # [P,CAND,36]
-        gd = (vals[:, :, :D] - 1) // 2 + cand_o[None]           # grid digits
-        nb = (vals[:, :, D:] + 1) // 2                          # neuron bits
-
-        rep_valid = all_valid[None, :] & (
-            p[:, :, 0] < (1 << jnp.minimum(kz, KCAP))[None, :])
-
-        k1 = ((gd[..., 0] + 1) + ((gd[..., 1] + 1) << 10)
-              + ((gd[..., 2] + 1) << 20))
-        k2 = jnp.zeros(gd.shape[:2], jnp.int32)
-        for j in range(16):
-            k2 = k2 | (nb[..., j] << j)
-        k3 = jnp.zeros(gd.shape[:2], jnp.int32)
-        for j in range(17):
-            k3 = k3 | (nb[..., 16 + j] << j)
         big = jnp.int32(2 ** 30)
-        k1 = jnp.where(rep_valid, k1, big)   # invalid replicas sort last
+
+        def _keys(cols0, zrank0, off0, valid0, kz0, P, kmax, rows0):
+            p = jnp.arange(P, dtype=jnp.int32)[:, None, None]
+            bit = (p >> jnp.clip(zrank0, 0, kmax - 1)[None]) & 1
+            sub = jnp.where(bit > 0, 1, -1)
+            vals = jnp.where((cols0 == 0)[None], sub, cols0[None])
+            gd = (vals[:, :, :D] - 1) // 2 + off0[None]
+            nb = (vals[:, :, D:] + 1) // 2
+            rep_valid = valid0[None, :] & (
+                p[:, :, 0] < (1 << jnp.minimum(kz0, kmax))[None, :])
+            k1 = ((gd[..., 0] + 1) + ((gd[..., 1] + 1) << 10)
+                  + ((gd[..., 2] + 1) << 20))
+            k2 = jnp.zeros(gd.shape[:2], jnp.int32)
+            for j in range(16):
+                k2 = k2 | (nb[..., j] << j)
+            k3 = jnp.zeros(gd.shape[:2], jnp.int32)
+            for j in range(17):
+                k3 = k3 | (nb[..., 16 + j] << j)
+            k1 = jnp.where(rep_valid, k1, big)
+            rows = jnp.broadcast_to(rows0[None], k1.shape)
+            return (k1.reshape(-1), k2.reshape(-1), k3.reshape(-1),
+                    rows.reshape(-1))
+
+        cand_rows = jnp.arange(CAND, dtype=jnp.int32)
+        tierB = all_valid & (kz > 2)
+        kA1, kA2, kA3, rA = _keys(allcols, zrank, cand_o,
+                                  all_valid & ~tierB, kz, 4, 2, cand_rows)
+
+        HB = max(HCAP, CCAP // 8)
+        blanes, bval, n_b = _compact_lanes(tierB, HB)
+        ovf = ovf | jnp.where(n_b > HB, OVF_K, 0)
+        kB1, kB2, kB3, rB = _keys(allcols[blanes], zrank[blanes],
+                                  cand_o[blanes], bval, kz[blanes],
+                                  PREP, KCAP, blanes)
+
+        k1f = jnp.concatenate([kA1, kB1])
+        k2f = jnp.concatenate([kA2, kB2])
+        k3f = jnp.concatenate([kA3, kB3])
+        rowf = jnp.concatenate([rA, rB])
 
         if "repsort" in disable:  # profiling cut: expansion only
-            ovf = ovf | (k1.max() * 0) | (k2.max() * 0) | (k3.max() * 0)
+            ovf = ovf | (k1f.max() * 0) | (k2f.max() * 0) | (k3f.max() * 0)
             state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
 
-        rows = jnp.broadcast_to(
-            jnp.arange(CAND, dtype=jnp.int32)[None], k1.shape)
-        k1f, k2f, k3f, rowf = (x.reshape(-1) for x in (k1, k2, k3, rows))
         sk1, sk2, sk3, srow = jax.lax.sort((k1f, k2f, k3f, rowf), num_keys=3)
 
         if "windows" in disable:  # profiling cut: expansion + sort only
@@ -440,6 +464,67 @@ def _round_up(n: int, m: int = 8192) -> int:
     return ((int(n) + m - 1) // m) * m
 
 
+def make_skeleton_fn(spec: NetSpec, caps: Caps, marks_len: int, eps: float):
+    """On-device initial skeleton (sign pruning), emitted straight into the
+    extraction pools — no host round-trip for the lattice outputs.
+
+    Reference semantics: tropical.py:81-111 (sign mode) + :211-223
+    (squeeze_edges); single-block variant for lattices that fit HBM
+    (marks_len^3 * R floats; up to ~medium configs), larger lattices use the
+    chunked host path.
+    """
+    VCAP, ECAP = caps.vcap, caps.ecap
+    M = marks_len
+
+    @jax.jit
+    def skeleton(params, marks):
+        ax = jnp.arange(M, dtype=jnp.int32)
+        gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+        xu = jnp.stack([jnp.take(marks, g.reshape(-1), axis=0)
+                        for g in (gx, gy, gz)], axis=-1)       # [M^3, 3]
+        world = xu * (spec.scale * 2) - spec.scale             # preprocess_inverse
+        out = net_outputs(spec, params, world)                 # [M^3, R]
+        sgn = _eps_sign(out, eps).astype(jnp.int8).reshape(M, M, M, R_COLS)
+
+        serial = (gx * M * M + gy * M + gz).astype(jnp.int32)  # [M,M,M]
+
+        masks, e_a, e_b = [], [], []
+        for axis in range(3):
+            sl_a = tuple(slice(1, None) if d == axis else slice(None)
+                         for d in range(3))
+            sl_b = tuple(slice(None, -1) if d == axis else slice(None)
+                         for d in range(3))
+            m = (sgn[sl_a] != sgn[sl_b]).any(-1)
+            masks.append(m.reshape(-1))
+            e_a.append(serial[sl_a].reshape(-1))
+            e_b.append(serial[sl_b].reshape(-1))
+        mask = jnp.concatenate(masks)
+        ea = jnp.concatenate(e_a)
+        eb = jnp.concatenate(e_b)
+
+        lanes, val, n_edges = _compact_lanes(mask, ECAP)
+        ovf = jnp.where(n_edges > ECAP, jnp.int32(OVF_E), 0)
+        ea_c = jnp.where(val, ea[lanes], 0)
+        eb_c = jnp.where(val, eb[lanes], 0)
+
+        # vertices used by surviving edges (squeeze_edges, tropical.py:211-222)
+        used = jnp.zeros(M * M * M, bool)
+        used = used.at[jnp.where(val, ea_c, M * M * M)].set(True, mode="drop")
+        used = used.at[jnp.where(val, eb_c, M * M * M)].set(True, mode="drop")
+        new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
+        vlanes, vval, n_verts = _compact_lanes(used, VCAP)
+        ovf = ovf | jnp.where(n_verts > VCAP, jnp.int32(OVF_V), 0)
+
+        V = jnp.where(vval[:, None], world[vlanes], 0)
+        OUT = jnp.where(vval[:, None], out[vlanes], 0)
+        E = jnp.stack([new_index[ea_c], new_index[eb_c]], axis=-1)
+        E = jnp.where(val[:, None], E, 0)
+
+        return V, OUT, E, n_verts, n_edges, ovf
+
+    return skeleton
+
+
 def _pow2(n: int, minimum: int = 1024) -> int:
     n = max(int(n), minimum)
     return 1 << (n - 1).bit_length()
@@ -452,15 +537,18 @@ def default_caps(n_vertices: int, n_edges: int) -> Caps:
     <= ~6% of edges, zeros per vertex <= 4, region size <= 18).  Sizes are
     8192-multiples, not powers of two — every buffer lane costs real work
     each step, so tight beats round."""
-    ccap = _round_up(max(n_edges // 12, 8192))
-    vcap = _round_up(int(n_vertices * 1.15) + 3 * ccap)
-    ecap = _round_up(int(n_edges * 1.2) + 8 * ccap)
+    ccap = _round_up(max(n_edges // 10, 8192))
+    vcap = _round_up(int(n_vertices * 1.1) + 5 * ccap)
+    ecap = _round_up(int(n_edges * 1.25) + 9 * ccap)
     return Caps(vcap=vcap, ecap=ecap, ccap=ccap,
                 hcap=_round_up(max(ccap // 4, 2048), 2048),
-                pcap=_round_up(max(4 * ccap, 65536)))
+                pcap=_round_up(max(6 * ccap, 65536)))
 
 
 _EXTRACT_CACHE: dict = {}
+# caps that succeeded for a (spec, problem-size bucket): subsequent
+# extractions skip the overflow-retry ramp entirely
+_GOOD_CAPS: dict = {}
 
 
 def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
@@ -473,34 +561,54 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     from tropical.extract.faces import extract_faces
     from tropical.extract.skeleton import get_hypercube, grid_skeleton
 
-    V0, E0 = grid_skeleton(net)
-    if E0.shape[0] == 0:
-        V0, E0, _ = get_hypercube(d, size)
+    M = int(net.marks.shape[0])
+    size_key = (net.spec, M)
+    caps = caps or _GOOD_CAPS.get(size_key)
 
-    # initial outputs stay on device: pad/concat there, never pull them
-    V0d = jnp.asarray(np.asarray(V0, np.float32))
-    E0d = jnp.asarray(np.asarray(E0, np.int32))
-    out0 = net.outputs(V0d)
+    def _device_skeleton(caps):
+        key = ("skel", net.spec, caps, M, eps)
+        if key not in _EXTRACT_CACHE:
+            _EXTRACT_CACHE[key] = make_skeleton_fn(net.spec, caps, M, eps)
+        return _EXTRACT_CACHE[key](net.params, net.marks)
 
-    caps = caps or default_caps(V0.shape[0], E0.shape[0])
+    # steady state: skeleton fused on device (single-block lattice), feeding
+    # the extraction pools directly — no host round-trip.  First call (no
+    # remembered caps) or big lattices take the chunked host skeleton.
+    host_skeleton = caps is None or M > 128 or M ** 3 * R_COLS * 4 > 2 ** 30
+    if host_skeleton:
+        V0, E0 = grid_skeleton(net)
+        if E0.shape[0] == 0:
+            V0, E0, _ = get_hypercube(d, size)
+        V0d = jnp.asarray(np.asarray(V0, np.float32))
+        E0d = jnp.asarray(np.asarray(E0, np.int32))
+        out0 = net.outputs(V0d)
+        caps = caps or default_caps(V0.shape[0], E0.shape[0])
+
     for _attempt in range(4):
+        if host_skeleton:
+            Vp = jnp.zeros((caps.vcap, 3), jnp.float32)
+            Vp = jax.lax.dynamic_update_slice(Vp, V0d, (0, 0))
+            Op = jnp.zeros((caps.vcap, R_COLS), jnp.float32)
+            Op = jax.lax.dynamic_update_slice(Op, out0, (0, 0))
+            Ep = jnp.zeros((caps.ecap, 2), jnp.int32)
+            Ep = jax.lax.dynamic_update_slice(Ep, E0d, (0, 0))
+            nV0 = np.int32(V0.shape[0])
+            nE0 = np.int32(E0.shape[0])
+            ovf_s = 0
+        else:
+            Vp, Op, Ep, nV0, nE0, ovf_s = _device_skeleton(caps)
+            ovf_s = int(ovf_s)
+
         key = (net.spec, caps, eps)
         if key not in _EXTRACT_CACHE:
             _EXTRACT_CACHE[key] = make_extract_fn(net.spec, caps, eps)
         extract = _EXTRACT_CACHE[key]
 
-        Vp = jnp.zeros((caps.vcap, 3), jnp.float32)
-        Vp = jax.lax.dynamic_update_slice(Vp, V0d, (0, 0))
-        Op = jnp.zeros((caps.vcap, R_COLS), jnp.float32)
-        Op = jax.lax.dynamic_update_slice(Op, out0, (0, 0))
-        Ep = jnp.zeros((caps.ecap, 2), jnp.int32)
-        Ep = jax.lax.dynamic_update_slice(Ep, E0d, (0, 0))
-
         V, OUT, E, nV, nE, ovf = extract(
-            net.params, net.marks, Vp, Op, Ep,
-            np.int32(V0.shape[0]), np.int32(E0.shape[0]))
-        ovf = int(ovf)
+            net.params, net.marks, Vp, Op, Ep, nV0, nE0)
+        ovf = int(ovf) | ovf_s
         if ovf == 0:
+            _GOOD_CAPS[size_key] = caps
             break
         caps = Caps(vcap=caps.vcap * (2 if ovf & OVF_V else 1),
                     ecap=caps.ecap * (2 if ovf & OVF_E else 1),

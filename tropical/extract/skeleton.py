@@ -36,7 +36,7 @@ AXIS_SLICES = (((slice(1, None), slice(None), slice(None)),
                 (slice(None), slice(None), slice(None, -1))))
 
 
-def grid_skeleton(net, unit: int = 128, mode: str = "distance"
+def grid_skeleton(net, unit: int = 128, mode: str = "sign"
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Pruned initial skeleton (reference tropical.py:158-225).
 
@@ -44,6 +44,13 @@ def grid_skeleton(net, unit: int = 128, mode: str = "distance"
     tropical.py:188-204): "distance" keeps lattice edges within the Lipschitz
     bound eps = sqrt(3)*2*max_cell*max_grad of the surface; "sign" keeps edges
     whose endpoint sign vectors differ; "none" keeps everything.
+
+    The default here is "sign" (the reference defaults to "distance"): an
+    edge whose endpoints share every neuron sign is never split and — since
+    the subdivision loop prunes same-future-region edges at every step — can
+    never reach the final skeleton, so both modes give the *identical* final
+    mesh (verified bitwise in tests/test_device_engine.py), while "sign"
+    starts from a ~3-4x smaller edge set and needs no gradient pass.
 
     Returns (vertices [V,3] world coords float32, edges [E,2] int64 with
     compacted vertex ids).

@@ -56,6 +56,21 @@ class StanfordDataset:
         if name in _PROCEDURAL:
             print(f"Building procedural {name} mesh ...")
             self.mesh = _PROCEDURAL[name]()
+        elif name == "bunny_npy":
+            # density-grid variant (reference dataset.py:41-48): rebuild the
+            # mesh from models/bunny.npy via grid isosurfacing
+            print("Loading bunny.npy ...")
+            path = os.path.join(BASE_DIR, "models/bunny.npy")
+            density = np.load(path)
+            from tropical.utils.isosurface import (grid_tetrahedra,
+                                                   marching_tetrahedra)
+
+            n = density.shape[0]
+            g = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"), -1)
+            pts = (g.reshape(-1, 3) / 32.0 - 1.0) * self.R
+            tets = grid_tetrahedra(n, n)
+            verts, tris = marching_tetrahedra(pts, tets, density.reshape(-1))
+            self.mesh = Mesh(verts, tris)
         else:
             rel = _PLY_PATHS.get(name)
             if rel is None:
@@ -70,12 +85,14 @@ class StanfordDataset:
             self.mesh = read_ply(path)
         print("Done.", flush=True)
 
-        # normalize longest AABB side to 2, center (reference dataset.py:71-74)
-        vertices = np.asarray(self.mesh.vertices, np.float64)
-        scale = (vertices.max(0) - vertices.min(0)).max()
-        vertices = vertices / scale * 2
-        vertices -= (vertices.max(0) + vertices.min(0)) / 2
-        self.mesh = Mesh(vertices, self.mesh.faces)
+        # normalize longest AABB side to 2, center (reference dataset.py:71-74;
+        # bunny_npy is already in [-R, R], reference :71)
+        if name != "bunny_npy":
+            vertices = np.asarray(self.mesh.vertices, np.float64)
+            scale = (vertices.max(0) - vertices.min(0)).max()
+            vertices = vertices / scale * 2
+            vertices -= (vertices.max(0) + vertices.min(0)) / 2
+            self.mesh = Mesh(vertices, self.mesh.faces)
 
         from tropical.ops.mesh_queries import MeshQuery
 

@@ -29,7 +29,8 @@ def parse_args(argv=None):
                     "networks (TPU-native)")
     parser.add_argument("-d", "--dataset", default="dragon",
                         choices=["bunny", "dragon", "happy", "armadillo",
-                                 "drill", "lucy", "sphere", "torus"],
+                                 "drill", "lucy", "bunny_npy", "sphere",
+                                 "torus"],
                         help="Stanford 3D scanning model name (or procedural)")
     parser.add_argument("-s", "--seed", default=45, type=int, help="Seed")
     parser.add_argument("-c", "--cache", default=True, action="store_false",

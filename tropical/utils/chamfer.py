@@ -107,3 +107,65 @@ def angular_distance(x: np.ndarray, y: np.ndarray):
     """Mean/std of angle in degrees between unit normals (train.py:317-321)."""
     deg = np.degrees(np.arccos(np.clip(np.sum(x * y, axis=-1), -1, 1)))
     return float(np.mean(deg)), float(np.std(deg))
+
+
+def get_camera_rays(poses, intrinsics, H: int, W: int, n: int = -1,
+                    rng: np.random.Generator | None = None):
+    """Pinhole camera rays (NeRF convention; legacy API of reference
+    chamfer_distance.py:52-125).
+
+    Args:
+        poses: [B, 4, 4] cam2world matrices.
+        intrinsics: (fx, fy, cx, cy).
+        n: if > 0, sample n random pixels per pose.
+
+    Returns dict with 'rays_o', 'rays_d' of shape [B, N, 3].
+    """
+    rng = rng or np.random.default_rng(0)
+    poses = np.asarray(poses, np.float64)
+    fx, fy, cx, cy = intrinsics
+    i, j = np.meshgrid(np.arange(W, dtype=np.float64) + 0.5,
+                       np.arange(H, dtype=np.float64) + 0.5, indexing="xy")
+    i = i.reshape(-1)
+    j = j.reshape(-1)
+    if n > 0:
+        sel = rng.integers(0, H * W, n)
+        i, j = i[sel], j[sel]
+    zs = -np.ones_like(i)            # z flipped
+    xs = (i - cx) / fx
+    ys = -(j - cy) / fy              # y flipped
+    directions = np.stack([xs, ys, zs], axis=-1)          # [N, 3]
+    rays_d = directions[None] @ poses[:, :3, :3].transpose(0, 2, 1)
+    rays_o = np.broadcast_to(poses[:, None, :3, 3], rays_d.shape)
+    return {"rays_o": rays_o, "rays_d": rays_d}
+
+
+def sample_surface(poses, intrinsics, mesh, n: int,
+                   rng: np.random.Generator | None = None):
+    """Sample ~n surface points by ray-casting from camera poses (legacy API
+    of reference chamfer_distance.py:128-182); mesh is normalized to the unit
+    box, positions returned in the original frame."""
+    from tropical.ops.mesh_queries import MeshQuery
+    from tropical.utils.ply import Mesh
+
+    rng = rng or np.random.default_rng(0)
+    vmin, vmax = np.asarray(mesh.vertices).min(0), np.asarray(mesh.vertices).max(0)
+    center = (vmin + vmax) / 2
+    scale = 1.0 / (vmax - vmin)
+    norm_mesh = Mesh((np.asarray(mesh.vertices) - center) * scale, mesh.faces)
+    mq = MeshQuery(norm_mesh.vertices, norm_mesh.faces)
+
+    per_frame = max(1, n // len(poses))
+    out = []
+    for pose in np.asarray(poses):
+        rays = get_camera_rays(pose[None], intrinsics, H=800, W=800, rng=rng)
+        o = rays["rays_o"].reshape(-1, 3)
+        d = rays["rays_d"].reshape(-1, 3)
+        pos, fid, _ = mq.ray_trace(o, d)
+        hits = pos[fid >= 0]
+        if len(hits) == 0:
+            continue
+        sel = rng.choice(len(hits), per_frame, replace=len(hits) < per_frame)
+        out.append(hits[sel])
+    all_pos = np.concatenate(out, axis=0) if out else np.empty((0, 3))
+    return all_pos / scale + center
