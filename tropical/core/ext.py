@@ -39,6 +39,11 @@ def batched_index_select(t: np.ndarray, dim: int, inds: np.ndarray) -> np.ndarra
     return np.take_along_axis(t, inds[..., None], axis=-2)
 
 
+def low_precision(x: np.ndarray, scale: float = 1e5) -> np.ndarray:
+    """Truncate to ~5 decimal digits (reference tropical.py:284-288)."""
+    return np.floor(np.asarray(x) * scale) / scale
+
+
 def batched_unique_consecutive(t: np.ndarray, null_value: int = -1) -> np.ndarray:
     """Row-wise unique_consecutive with right-padding (torch_ext.py:54-66)."""
     t = np.asarray(t)

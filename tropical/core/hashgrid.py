@@ -263,6 +263,27 @@ class TropicalHashGrid:
         return mask, offset.astype(jnp.int32)
 
 
+def analytical_marks(grid: "TropicalHashGrid", feature: int = 1,
+                     dx: float = 1e-3, axis: int = 0):
+    """Empirically locate gradient breakpoints of one encoding feature along
+    an axis (diagnostic analog of reference tropical.py:291-302).
+
+    Returns the x positions where d(feature)/dx jumps — these should coincide
+    with the grid marks."""
+    import jax
+
+    spec = grid.spec
+    xs = np.arange(dx, 1.0 - dx, dx, dtype=np.float32)
+
+    def f(x):
+        pts = jnp.full((3,), 0.505).at[axis].set(x)
+        return encode(spec, grid.params, pts[None])[0, feature]
+
+    g = np.asarray(jax.vmap(jax.grad(f))(jnp.asarray(xs)))
+    jumps = np.abs(np.diff(g)) > 1e-6
+    return xs[1:][jumps]
+
+
 class Tropical:
     """Generic module wrapper (API parity with reference tropical.py:242-281).
 
@@ -290,3 +311,18 @@ class Tropical:
         from tropical.extract.skeleton import get_hypercube
 
         return get_hypercube(d, size)
+
+
+if __name__ == "__main__":
+    # sanity demo: the analytic tiny-grid fixture of the reference
+    # (tropical.py:305-321) — marks are derivable by hand, and the encoding's
+    # gradient breakpoints must coincide with them
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    grid = TropicalHashGrid.create(1.0, 3, L=2, F=1, T=19, N_min=2, N_max=6,
+                                   key=jax.random.PRNGKey(0))
+    print("marks:", ", ".join(f"{m:.5f}" for m in np.asarray(grid.marks)))
+    bp = analytical_marks(grid, feature=1)
+    print("gradient breakpoints along x:",
+          ", ".join(f"{b:.3f}" for b in bp))

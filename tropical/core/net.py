@@ -218,6 +218,17 @@ class TropicalNet:
             idx = l * self.num_hidden + h
         return padded_apply(partial(self._normal, self.params, idx=idx), x)
 
+    def check_orthogonality(self):
+        """Print per-layer row-orthogonality diagnostics (model.py:125-132)."""
+        import numpy as np
+
+        for i, w in enumerate(self.params["mlp"]["w"]):
+            wn = np.asarray(w).T  # rows = output units
+            wn = wn / np.linalg.norm(wn, axis=-1, keepdims=True)
+            loss = np.abs(wn @ wn.T - np.eye(wn.shape[0])).max()
+            print(wn.shape)
+            print(f"{i} layer orthogonality: {loss:.4f}")
+
     def device(self):
         return jax.devices()[0]
 

@@ -373,12 +373,13 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             jnp.ones(1, bool),
             (slo[1:] != slo[:-1]) | (shi[1:] != shi[:-1])])
         uniq = first & (slo < VCAP)
-        ulanes, uval, n_conn = _compact_lanes(uniq, CCAP)
-        ovf = ovf | jnp.where(n_conn > CCAP, OVF_C, 0)
+        CONNCAP = min(PCAP, 4 * CCAP)  # conn edges can outnumber splits
+        ulanes, uval, n_conn = _compact_lanes(uniq, CONNCAP)
+        ovf = ovf | jnp.where(n_conn > CONNCAP, OVF_P, 0)
         c_app = jnp.stack([jnp.where(uval, slo[ulanes], 0),
                            jnp.where(uval, shi[ulanes], 0)], axis=-1)
-        start_e2 = jnp.minimum(nE2, ECAP - CCAP)
-        ovf = ovf | jnp.where(nE2 + n_conn > ECAP - CCAP, OVF_E, 0)
+        start_e2 = jnp.minimum(nE2, ECAP - CONNCAP)
+        ovf = ovf | jnp.where(nE2 + n_conn > ECAP - CONNCAP, OVF_E, 0)
         E = jax.lax.dynamic_update_slice(E, c_app, (start_e2, 0))
         aliveE = jax.lax.dynamic_update_slice(aliveE, uval, (start_e2,))
         nE3 = nE2 + n_conn
@@ -401,12 +402,20 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         differ = (k1[E[:, 0]] != k1[E[:, 1]]) | (k2[E[:, 0]] != k2[E[:, 1]]) \
             | (k3[E[:, 0]] != k3[E[:, 1]])
-        aliveE = aliveE & differ
+        keep = aliveE & differ
+
+        # compact surviving edges to the prefix (order-preserving, sort-free)
+        # so the edge pool only needs to hold the live maximum plus one
+        # step's appends, not every edge ever created
+        lanes, val, n_keep = _compact_lanes(keep, ECAP)
+        E = jnp.where(val[:, None], E[lanes], 0)
+        nE = n_keep
+        aliveE = val
 
         # vertices used by surviving edges (the one scatter in the loop)
         used = jnp.zeros(VCAP, bool)
-        used = used.at[jnp.where(aliveE, E[:, 0], VCAP)].set(True, mode="drop")
-        used = used.at[jnp.where(aliveE, E[:, 1], VCAP)].set(True, mode="drop")
+        used = used.at[jnp.where(val, E[:, 0], VCAP)].set(True, mode="drop")
+        used = used.at[jnp.where(val, E[:, 1], VCAP)].set(True, mode="drop")
 
         return State(V, OUT, E, used, aliveE, nV, nE, ovf)
 
@@ -537,9 +546,9 @@ def default_caps(n_vertices: int, n_edges: int) -> Caps:
     <= ~6% of edges, zeros per vertex <= 4, region size <= 18).  Sizes are
     8192-multiples, not powers of two — every buffer lane costs real work
     each step, so tight beats round."""
-    ccap = _round_up(max(n_edges // 10, 8192))
-    vcap = _round_up(int(n_vertices * 1.1) + 5 * ccap)
-    ecap = _round_up(int(n_edges * 1.25) + 9 * ccap)
+    ccap = _round_up(max(n_edges // 3, 8192))
+    vcap = _round_up(int(n_vertices * 1.1) + 6 * ccap)
+    ecap = _round_up(int(n_edges * 1.3) + 6 * ccap)
     return Caps(vcap=vcap, ecap=ecap, ccap=ccap,
                 hcap=_round_up(max(ccap // 4, 2048), 2048),
                 pcap=_round_up(max(6 * ccap, 65536)))
@@ -584,7 +593,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         out0 = net.outputs(V0d)
         caps = caps or default_caps(V0.shape[0], E0.shape[0])
 
-    for _attempt in range(4):
+    for _attempt in range(6):
         if host_skeleton:
             Vp = jnp.zeros((caps.vcap, 3), jnp.float32)
             Vp = jax.lax.dynamic_update_slice(Vp, V0d, (0, 0))
@@ -610,13 +619,28 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         if ovf == 0:
             _GOOD_CAPS[size_key] = caps
             break
-        caps = Caps(vcap=caps.vcap * (2 if ovf & OVF_V else 1),
-                    ecap=caps.ecap * (2 if ovf & OVF_E else 1),
-                    ccap=caps.ccap * (2 if ovf & OVF_C else 1),
-                    hcap=caps.hcap * (2 if ovf & OVF_H else 1),
-                    pcap=caps.pcap * (2 if ovf & OVF_P else 1),
-                    kcap=caps.kcap + (1 if ovf & OVF_K else 0),
-                    wcap=caps.wcap * (2 if ovf & OVF_W else 1))
+        # root-cause retry: once a capacity buffer overflows, the dynamics
+        # downstream are garbage and every later flag is noise — grow only
+        # the most upstream overflowing buffer class per attempt
+        if ovf & (OVF_C | OVF_H):
+            caps = Caps(vcap=caps.vcap + 4 * caps.ccap,
+                        ecap=caps.ecap + 2 * caps.ccap,
+                        ccap=caps.ccap * 2 if ovf & OVF_C else caps.ccap,
+                        hcap=caps.hcap * 2 if ovf & OVF_H else caps.hcap,
+                        pcap=caps.pcap * 2,
+                        kcap=caps.kcap, wcap=caps.wcap)
+        elif ovf & (OVF_V | OVF_E | OVF_P):
+            caps = Caps(vcap=caps.vcap * (2 if ovf & OVF_V else 1),
+                        ecap=caps.ecap * (2 if ovf & OVF_E else 1),
+                        ccap=caps.ccap,
+                        hcap=caps.hcap,
+                        pcap=caps.pcap * (2 if ovf & OVF_P else 1),
+                        kcap=caps.kcap, wcap=caps.wcap)
+        else:
+            caps = Caps(vcap=caps.vcap, ecap=caps.ecap, ccap=caps.ccap,
+                        hcap=caps.hcap, pcap=caps.pcap,
+                        kcap=caps.kcap + (1 if ovf & OVF_K else 0),
+                        wcap=caps.wcap * (2 if ovf & OVF_W else 1))
         if verbose:
             print(f"[device-extract] overflow mask {ovf}; retrying with {caps}")
     else:

@@ -46,6 +46,11 @@ def parse_args(argv=None):
                              "reference; lower for quick runs)")
     parser.add_argument("--epochs", default=None, type=int,
                         help="Override training epochs")
+    parser.add_argument("--extract_every", default=0, type=int,
+                        help="Extract the polyhedral complex every N training "
+                             "epochs (0 = only at the end); the reference "
+                             "draws the evolving complex during training "
+                             "(train.py:210-224)")
     return parser.parse_args(argv)
 
 
@@ -145,7 +150,17 @@ def main(argv=None):
             print("warning: cannot find a pretrained model for seed "
                   f"({seed})! Training from scratch; for reproduction use a "
                   f"cached SDF at {model_path}[.npz].", flush=True)
-        train(net, training_data, epochs, BATCH_SIZE)
+        if args.extract_every > 0:
+            done = 0
+            while done < epochs:
+                span = min(args.extract_every, epochs - done)
+                train(net, training_data, span, BATCH_SIZE)
+                done += span
+                if done < epochs:
+                    print(f"[epoch {done}] intermediate extraction:", end="")
+                    extract_mesh(net, args.force)
+        else:
+            train(net, training_data, epochs, BATCH_SIZE)
         print("Finished training.", flush=True)
         if args.cache:
             saved = ckpt.save_params(model_path, net.params)
