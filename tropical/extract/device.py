@@ -61,6 +61,7 @@ class Caps:
     #                      lattice hit vertices sit on 3 grid + >=1 neuron
     #                      planes, so 4-5 zeros occur routinely)
     wcap: int = 32       # max candidate vertices per region (pair window)
+    conncap: int = 65536  # per-step connecting-edge append block
 
 
 class State(NamedTuple):
@@ -373,7 +374,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             jnp.ones(1, bool),
             (slo[1:] != slo[:-1]) | (shi[1:] != shi[:-1])])
         uniq = first & (slo < VCAP)
-        CONNCAP = min(PCAP, 4 * CCAP)  # conn edges can outnumber splits
+        CONNCAP = caps.conncap  # conn edges can outnumber splits
         ulanes, uval, n_conn = _compact_lanes(uniq, CONNCAP)
         ovf = ovf | jnp.where(n_conn > CONNCAP, OVF_P, 0)
         c_app = jnp.stack([jnp.where(uval, slo[ulanes], 0),
@@ -547,11 +548,12 @@ def default_caps(n_vertices: int, n_edges: int) -> Caps:
     8192-multiples, not powers of two — every buffer lane costs real work
     each step, so tight beats round."""
     ccap = _round_up(max(n_edges // 3, 8192))
+    conncap = _round_up(max(ccap, 32768))
     vcap = _round_up(int(n_vertices * 1.1) + 6 * ccap)
-    ecap = _round_up(int(n_edges * 1.3) + 6 * ccap)
+    ecap = _round_up(int(n_edges * 1.3) + 2 * ccap + 2 * conncap)
     return Caps(vcap=vcap, ecap=ecap, ccap=ccap,
                 hcap=_round_up(max(ccap // 4, 2048), 2048),
-                pcap=_round_up(max(6 * ccap, 65536)))
+                pcap=_round_up(max(6 * ccap, 65536)), conncap=conncap)
 
 
 _EXTRACT_CACHE: dict = {}
@@ -622,25 +624,28 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         # root-cause retry: once a capacity buffer overflows, the dynamics
         # downstream are garbage and every later flag is noise — grow only
         # the most upstream overflowing buffer class per attempt
+        import dataclasses
+
         if ovf & (OVF_C | OVF_H):
-            caps = Caps(vcap=caps.vcap + 4 * caps.ccap,
-                        ecap=caps.ecap + 2 * caps.ccap,
-                        ccap=caps.ccap * 2 if ovf & OVF_C else caps.ccap,
-                        hcap=caps.hcap * 2 if ovf & OVF_H else caps.hcap,
-                        pcap=caps.pcap * 2,
-                        kcap=caps.kcap, wcap=caps.wcap)
+            caps = dataclasses.replace(
+                caps,
+                vcap=caps.vcap + 4 * caps.ccap,
+                ecap=caps.ecap + 2 * caps.ccap,
+                ccap=caps.ccap * 2 if ovf & OVF_C else caps.ccap,
+                hcap=caps.hcap * 2 if ovf & OVF_H else caps.hcap,
+                pcap=caps.pcap * 2, conncap=caps.conncap * 2)
         elif ovf & (OVF_V | OVF_E | OVF_P):
-            caps = Caps(vcap=caps.vcap * (2 if ovf & OVF_V else 1),
-                        ecap=caps.ecap * (2 if ovf & OVF_E else 1),
-                        ccap=caps.ccap,
-                        hcap=caps.hcap,
-                        pcap=caps.pcap * (2 if ovf & OVF_P else 1),
-                        kcap=caps.kcap, wcap=caps.wcap)
+            caps = dataclasses.replace(
+                caps,
+                vcap=caps.vcap * (2 if ovf & OVF_V else 1),
+                ecap=caps.ecap * (2 if ovf & OVF_E else 1),
+                pcap=caps.pcap * (2 if ovf & OVF_P else 1),
+                conncap=caps.conncap * (2 if ovf & OVF_P else 1))
         else:
-            caps = Caps(vcap=caps.vcap, ecap=caps.ecap, ccap=caps.ccap,
-                        hcap=caps.hcap, pcap=caps.pcap,
-                        kcap=caps.kcap + (1 if ovf & OVF_K else 0),
-                        wcap=caps.wcap * (2 if ovf & OVF_W else 1))
+            caps = dataclasses.replace(
+                caps,
+                kcap=caps.kcap + (1 if ovf & OVF_K else 0),
+                wcap=caps.wcap * (2 if ovf & OVF_W else 1))
         if verbose:
             print(f"[device-extract] overflow mask {ovf}; retrying with {caps}")
     else:
