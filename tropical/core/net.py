@@ -25,7 +25,7 @@ import numpy as np
 from tropical.core import mlp as mlp_mod
 from tropical.core.buffers import padded_apply
 from tropical.core.hashgrid import (HashGridSpec, TropicalHashGrid,
-                                    compute_marks, encode, init_params)
+                                    encode, init_params)
 
 
 @dataclass(frozen=True)

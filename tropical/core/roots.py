@@ -18,8 +18,6 @@ the gradient-descent failover (reference subpoly_debug.py:121-165).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

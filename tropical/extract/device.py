@@ -553,7 +553,7 @@ def default_caps(n_vertices: int, n_edges: int) -> Caps:
     ecap = _round_up(int(n_edges * 1.3) + 2 * ccap + 2 * conncap)
     return Caps(vcap=vcap, ecap=ecap, ccap=ccap,
                 hcap=_round_up(max(ccap // 4, 2048), 2048),
-                pcap=_round_up(max(6 * ccap, 65536)), conncap=conncap)
+                pcap=_round_up(max(10 * ccap, 131072)), conncap=conncap)
 
 
 _EXTRACT_CACHE: dict = {}

@@ -119,8 +119,6 @@ def evaluate_against_grid_gt(net, our_mesh, our_t, dataset_R, gt_res,
 
 
 def main(argv=None):
-    import jax
-
     from tropical.stanford.dataset import StanfordDataset
     from tropical.stanford.model import net_for_size
     from tropical.stanford.training import train

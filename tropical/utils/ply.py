@@ -8,7 +8,6 @@ triangular faces are handled; other properties are skipped on read.
 
 from __future__ import annotations
 
-import struct
 from dataclasses import dataclass
 
 import numpy as np
