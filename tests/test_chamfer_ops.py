@@ -6,6 +6,15 @@ from tropical.ops.chamfer_pallas import min_nn_distance as fast
 from tropical.utils.chamfer import min_nn_distance_scan
 
 
+def test_self_distance_is_exactly_zero():
+    """Regression: the |x|^2+|y|^2-2xy expansion has a ~1e-3 cancellation
+    noise floor; the argmin+exact-recompute must return literal zeros."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2000, 3)).astype(np.float32)
+    d = fast(x, x, use_pallas=False)
+    assert d.max() == 0.0
+
+
 def test_matmul_min_dist_matches_scan():
     rng = np.random.default_rng(3)
     x = rng.normal(size=(777, 3)).astype(np.float32)

@@ -1,0 +1,49 @@
+"""CLI surface smoke tests (tiny settings, host engine, tmp cwd)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tmp_cwd(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_train_cli_end_to_end(tmp_cwd, monkeypatch):
+    import tropical.stanford.dataset as ds_mod
+    import tropical.stanford.train as train_mod
+    from tropical.stanford.dataset import StanfordDataset
+
+    # shrink the workload: tiny dataset + tiny eval resolutions
+    orig_init = StanfordDataset.__init__
+
+    def small_init(self, name="sphere", rng=None, n_samples=2000):
+        orig_init(self, name, rng, n_samples=2000)
+
+    monkeypatch.setattr(ds_mod.StanfordDataset, "__init__", small_init)
+    # keep checkpoints inside the tmp dir
+    monkeypatch.setattr(train_mod, "model_path_for",
+                        lambda d, m, s: os.path.join("models", f"{d}_{m}_{s}.pth"))
+    monkeypatch.setattr(train_mod, "BATCH_SIZE", 250)
+
+    rc = train_mod.main(["-d", "sphere", "-s", "3", "-m", "small",
+                         "--epochs", "15", "-e", "--gt_res", "24"])
+    assert rc == 0
+    assert os.path.isfile("meshes/sphere/our_mesh_small_3.ply")
+    assert os.path.isfile("models/sphere_small_3.pth.npz")
+
+    from tropical.utils.ply import read_ply
+
+    mesh = read_ply("meshes/sphere/our_mesh_small_3.ply")
+    assert mesh.vertices.shape[0] > 0
+    assert mesh.faces.shape[0] > 0
+    assert np.isfinite(mesh.vertices).all()
+
+
+def test_evaluate_cli_missing_model(tmp_cwd):
+    from tropical.stanford.evaluate import main
+
+    assert main(["-d", "sphere", "-m", "large", "-s", "999"]) == 1

@@ -30,31 +30,53 @@ BY = 4096   # y rows per panel
 
 @partial(jax.jit, static_argnames=("by",))
 def min_dist_xla(x, y, by=BY):
-    """min_j ||x_i - y_j||^2 via MXU blocks. y padded to a multiple of by."""
+    """min_j ||x_i - y_j|| via MXU blocks + exact refinement.
+
+    The expansion |x|^2+|y|^2-2x.y cancels catastrophically for nearby points
+    (a ~1e-3 noise floor — fatal for chamfer values of that order), so the
+    matmul pass only finds the *argmin*; the distance to that neighbour is
+    recomputed with the direct difference, which is exact.  If cancellation
+    noise picks a slightly-wrong neighbour, the two candidates were within
+    the noise of each other, so the recomputed distance error is negligible.
+    """
     ny = y.shape[0] // by
     y_blocks = y.reshape(ny, by, 3)
     x2 = (x * x).sum(-1)
 
-    def body(carry, yb):
+    def body(carry, blk):
+        best_d2, best_j = carry
+        yb, base = blk
         y2 = (yb * yb).sum(-1)
         cross = x @ yb.T  # MXU
         d2 = x2[:, None] + y2[None, :] - 2.0 * cross
-        return jnp.minimum(carry, d2.min(-1)), None
+        dmin = d2.min(-1)
+        jmin = d2.argmin(-1).astype(jnp.int32) + base
+        better = dmin < best_d2
+        return (jnp.where(better, dmin, best_d2),
+                jnp.where(better, jmin, best_j)), None
 
-    init = jnp.full((x.shape[0],), jnp.inf, x.dtype)
-    d2, _ = jax.lax.scan(body, init, y_blocks)
-    return jnp.maximum(d2, 0.0)
+    init = (jnp.full((x.shape[0],), jnp.inf, x.dtype),
+            jnp.zeros((x.shape[0],), jnp.int32))
+    bases = jnp.arange(ny, dtype=jnp.int32) * by
+    (d2, j), _ = jax.lax.scan(body, init, (y_blocks, bases))
+    diff = x - y[j]
+    return (diff * diff).sum(-1)
 
 
 def _min_dist_kernel(x_ref, y_ref, out_ref):
-    """One x-tile vs the full y-panel (grid dim 0 walks x tiles)."""
+    """One x-tile vs the full y-panel (grid dim 0 walks x tiles).
+
+    The MXU pass only finds the argmin (int32 output); the caller recomputes
+    the distance exactly with a direct difference (see min_dist_xla for the
+    cancellation rationale — and Mosaic has no vectorized VMEM gather, so the
+    refinement lives outside the kernel)."""
     x = x_ref[:]                    # [BX, 3]
     y = y_ref[:]                    # [BY_panel, 3]
     x2 = (x * x).sum(-1)
     y2 = (y * y).sum(-1)
     cross = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
     d2 = x2[:, None] + y2[None, :] - 2.0 * cross
-    out_ref[:] = jnp.maximum(d2.min(-1), 0.0)
+    out_ref[:] = d2.argmin(-1).astype(jnp.int32)
 
 
 def min_dist_pallas(x, y):
@@ -68,7 +90,7 @@ def min_dist_pallas(x, y):
 
     n = x.shape[0]
     assert n % BX == 0, "pad x to a BX multiple"
-    return pl.pallas_call(
+    j = pl.pallas_call(
         _min_dist_kernel,
         grid=(n // BX,),
         in_specs=[
@@ -78,8 +100,10 @@ def min_dist_pallas(x, y):
         ],
         out_specs=pl.BlockSpec((BX,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n,), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
     )(x, y)
+    diff = x - y[j]
+    return (diff * diff).sum(-1)
 
 
 def _pad_rows(a: np.ndarray, mult: int, fill: float) -> np.ndarray:

@@ -171,6 +171,11 @@ def main(argv=None):
     our_mesh = Mesh(vertices_np, np.asarray(faces_with_indices))
     print(f"Ours: {our_mesh.vertices.shape}/{our_mesh.faces.shape}")
 
+    if our_mesh.vertices.shape[0] == 0:
+        print("warning: empty extraction (the SDF has no zero level set in "
+              "the canvas — likely undertrained); skipping export/eval.")
+        return 2
+
     out_dir = f"meshes/{args.dataset}"
     os.makedirs(out_dir, exist_ok=True)
     tag = f"{args.model_size}_{seed}"

@@ -97,9 +97,9 @@ def sample_surface_from_rays(rays_o, rays_d, mesh, return_normal: bool = False):
         return hit_positions
 
     fid = np.where(mask, face_id, 0)
-    tris = np.asarray(mesh.vertices)[np.asarray(mesh.faces)[fid]]
+    tris = np.asarray(mesh.vertices, np.float64)[np.asarray(mesh.faces)[fid]]
     normals = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
-    normals /= np.linalg.norm(normals, axis=-1, keepdims=True) + 1e-9
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True) + 1e-12
     return hit_positions, normals, mask
 
 
