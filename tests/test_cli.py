@@ -28,6 +28,12 @@ def test_train_cli_end_to_end(tmp_cwd, monkeypatch):
     monkeypatch.setattr(train_mod, "model_path_for",
                         lambda d, m, s: os.path.join("models", f"{d}_{m}_{s}.pth"))
     monkeypatch.setattr(train_mod, "BATCH_SIZE", 250)
+    # fewer eval rays: 100k x CPU ray-trace would dominate the suite
+    import tropical.utils.chamfer as ch
+
+    orig_rays = ch.get_rays
+    monkeypatch.setattr(ch, "get_rays",
+                        lambda n=100000, rng=None: orig_rays(2000, rng))
 
     rc = train_mod.main(["-d", "sphere", "-s", "3", "-m", "small",
                          "--epochs", "15", "-e", "--gt_res", "24"])

@@ -107,11 +107,14 @@ def min_dist_pallas(x, y):
 
 
 def _pad_rows(a: np.ndarray, mult: int, fill: float) -> np.ndarray:
-    n = a.shape[0]
-    npad = (-n) % mult
-    if npad == 0:
+    """Pad to a power-of-two multiple of ``mult`` (bucketed shapes reuse
+    compiled programs across differently-sized point sets)."""
+    n = max(a.shape[0], mult)
+    target = mult * (1 << (((n + mult - 1) // mult) - 1).bit_length())
+    if target == a.shape[0]:
         return a
-    return np.concatenate([a, np.full((npad,) + a.shape[1:], fill, a.dtype)])
+    return np.concatenate(
+        [a, np.full((target - a.shape[0],) + a.shape[1:], fill, a.dtype)])
 
 
 def min_nn_distance(x: np.ndarray, y: np.ndarray,

@@ -98,12 +98,14 @@ def _ray_tri_t(o, d, a, b, c, eps=1e-9):
 
 
 def _pad_tris(tri: np.ndarray, chunk: int) -> np.ndarray:
-    """Pad triangle array to a chunk multiple with far-away degenerate tris."""
-    T = tri.shape[0]
-    Tp = ((T + chunk - 1) // chunk) * chunk
-    if Tp == T:
+    """Pad triangles to a power-of-two chunk multiple with far-away
+    degenerate tris — pow2 bucketing lets XLA reuse one compiled program
+    across meshes of different sizes (remote compiles cost ~minutes)."""
+    T = max(tri.shape[0], chunk)
+    Tp = chunk * (1 << (((T + chunk - 1) // chunk) - 1).bit_length())
+    if Tp == tri.shape[0]:
         return tri
-    pad = np.full((Tp - T, 3, 3), 1e8, tri.dtype)
+    pad = np.full((Tp - tri.shape[0], 3, 3), 1e8, tri.dtype)
     return np.concatenate([tri, pad], axis=0)
 
 
