@@ -23,6 +23,25 @@ def test_ply_roundtrip():
     np.testing.assert_array_equal(back.faces, mesh.faces)
 
 
+def test_ply_ascii_reader():
+    ascii_ply = (
+        "ply\nformat ascii 1.0\n"
+        "element vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 2\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0\n1 0 0\n0 1 0\n0 0 1\n"
+        "3 0 1 2\n4 0 1 2 3\n")  # second face is a quad -> fan-triangulated
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "a.ply")
+        with open(path, "w") as f:
+            f.write(ascii_ply)
+        mesh = read_ply(path)
+    assert mesh.vertices.shape == (4, 3)
+    assert mesh.faces.shape == (3, 3)  # 1 tri + quad fan (2 tris)
+    np.testing.assert_array_equal(mesh.faces[1:], [[0, 1, 2], [0, 2, 3]])
+
+
 def test_signed_distance_sphere():
     mesh = icosphere(3)  # radius-1 sphere, 1280 faces
     mq = MeshQuery(mesh.vertices, mesh.faces)

@@ -84,8 +84,9 @@ def read_ply(path: str) -> Mesh:
                 vertices = arr[:, [names.index("x"), names.index("y"),
                                    names.index("z")]]
             elif name == "face":
-                faces = np.asarray([[int(v) for v in r[1:1 + int(r[0])]]
-                                    for r in rows])
+                # keep as a list of rows: polygons may have mixed arity
+                faces = [np.asarray([int(v) for v in r[1:1 + int(r[0])]],
+                                    np.int64) for r in rows]
     else:
         off = 0
         for name, count, props in elements:
