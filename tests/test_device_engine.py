@@ -43,9 +43,9 @@ def _device_skeleton(net):
     Op[:V0.shape[0]] = out0
     Ep = np.zeros((caps.ecap, 2), np.int32)
     Ep[:E0.shape[0]] = E0
-    V, OUT, E, nV, nE, ovf = extract(net.params, net.marks, Vp, Op, Ep,
-                                     np.int32(V0.shape[0]),
-                                     np.int32(E0.shape[0]))
+    V, OUT, E, nV, nE, ovf, hw = extract(net.params, net.marks, Vp, Op, Ep,
+                                         np.int32(V0.shape[0]),
+                                         np.int32(E0.shape[0]))
     assert int(ovf) == 0, f"capacity overflow mask {int(ovf)}"
     n_v, n_e = int(nV), int(nE)
     return np.asarray(V[:n_v]), np.asarray(E[:n_e]).astype(np.int64)

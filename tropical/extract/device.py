@@ -73,6 +73,8 @@ class State(NamedTuple):
     nV: jax.Array       # i32 creation cursor
     nE: jax.Array       # i32 creation cursor
     overflow: jax.Array  # i32 bitmask of OVF_* flags
+    hw: jax.Array       # [6] i32 high-water marks: splits, hits, pairs,
+    #                     conns, nV, nE — lets the host re-derive tight caps
 
 
 def _eps_sign(out, eps):
@@ -133,7 +135,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         (reference subpoly.py:110-111) — in practice ~2/3 of all steps — via
         lax.cond, so idle steps cost one gather pass instead of the full
         pipeline."""
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf = state
+        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
         # --- 1. sign-change split mask (reference subpoly.py:102-105) -------
         outcol = jnp.take(OUT, idx, axis=1)            # [VCAP]
@@ -151,7 +153,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
     def _busy_step(params, marks, state: State, idx, prune: bool,
                    outcol, d0, d1, split) -> State:
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf = state
+        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
         # --- 2. compact split edges into the candidate block -----------------
         lanes, cval, n_split = _compact_lanes(split, CCAP)
@@ -206,7 +208,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         nV2 = nV + n_split
 
         if "pairs" in disable:  # profiling cut: skip stages 8-12
-            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf)
+            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -302,7 +304,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         if "repsort" in disable:  # profiling cut: expansion only
             ovf = ovf | (k1f.max() * 0) | (k2f.max() * 0) | (k3f.max() * 0)
-            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf)
+            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -311,7 +313,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         if "windows" in disable:  # profiling cut: expansion + sort only
             ovf = ovf | (srow.max() * 0) | (sk1.max() * 0)
-            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf)
+            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -335,7 +337,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         if "paircompact" in disable:  # profiling cut: windows only
             ovf = ovf | (pok.any() * 0) | (pa.max() * 0) | (pb.max() * 0)
-            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf)
+            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -361,7 +363,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         if "dedup" in disable:  # profiling cut: stop before the dedup sort
             ovf = ovf | (keep_pair.any() * 0)
-            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf)
+            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -385,7 +387,9 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         aliveE = jax.lax.dynamic_update_slice(aliveE, uval, (start_e2,))
         nE3 = nE2 + n_conn
 
-        state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf)
+        hw = jnp.maximum(hw, jnp.stack([
+            n_split, n_hit, n_pairs, n_conn, nV2, nE3]))
+        state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw)
         if prune and "prune" not in disable:
             state = _prune(state, idx, eps)
         return state
@@ -395,7 +399,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         mark dead vertices (reference subpoly.py:253-277).  No sorts, no
         compaction: region equality is key equality of the base-3 packed sign
         rows, liveness is a mask."""
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf = state
+        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
         col = jnp.arange(R_COLS, dtype=jnp.int32)
         future = col >= idx              # m[:, m_idx:] (subpoly.py:256-258)
@@ -418,7 +422,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         used = used.at[jnp.where(val, E[:, 0], VCAP)].set(True, mode="drop")
         used = used.at[jnp.where(val, E[:, 1], VCAP)].set(True, mode="drop")
 
-        return State(V, OUT, E, used, aliveE, nV, nE, ovf)
+        return State(V, OUT, E, used, aliveE, nV, nE, ovf, hw)
 
     return step, _prune
 
@@ -435,7 +439,9 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
     def extract(params, marks, V0, OUT0, E0, nV0, nE0):
         aliveV0 = jnp.arange(VCAP, dtype=jnp.int32) < nV0
         aliveE0 = jnp.arange(ECAP, dtype=jnp.int32) < nE0
-        state = State(V0, OUT0, E0, aliveV0, aliveE0, nV0, nE0, jnp.int32(0))
+        hw0 = jnp.stack([jnp.int32(0)] * 4 + [jnp.int32(nV0), jnp.int32(nE0)])
+        state = State(V0, OUT0, E0, aliveV0, aliveE0, nV0, nE0,
+                      jnp.int32(0), hw0)
 
         def body(i, st):
             return step(params, marks, st, i, prune=True)
@@ -446,7 +452,7 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                      prune=False)
 
         # extract_skeleton: |last col| < eps, inside [0,1]^D (subpoly.py:556-581)
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf = state
+        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
         xu = preprocess(spec, V)
         keep_v = aliveV & (jnp.abs(OUT[:, -1]) < eps) \
             & (xu <= 1).all(-1) & (xu >= 0).all(-1)
@@ -465,7 +471,7 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         elanes, eval_, n_ekeep = _compact_lanes(e_keep, ECAP)
         E = jnp.where(eval_[:, None], new_index[E[elanes]], 0)
 
-        return V, OUT, E, n_used, n_ekeep, ovf
+        return V, OUT, E, n_used, n_ekeep, ovf, hw
 
     return extract
 
@@ -615,11 +621,26 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             _EXTRACT_CACHE[key] = make_extract_fn(net.spec, caps, eps)
         extract = _EXTRACT_CACHE[key]
 
-        V, OUT, E, nV, nE, ovf = extract(
+        V, OUT, E, nV, nE, ovf, hw = extract(
             net.params, net.marks, Vp, Op, Ep, nV0, nE0)
         ovf = int(ovf) | ovf_s
         if ovf == 0:
-            _GOOD_CAPS[size_key] = caps
+            # memoize *tight* caps from the run's high-water marks rather
+            # than whatever the overflow-retry ramp landed on — every padded
+            # lane costs real work each step
+            hws, hwh, hwp, hwc, hwv, hwe = (int(x) for x in np.asarray(hw))
+            ccap_t = _round_up(int(hws * 1.15), 4096)
+            conncap_t = _round_up(int(hwc * 1.15) + 4096)
+            _GOOD_CAPS[size_key] = Caps(
+                # pools need headroom for one step's append blocks on top of
+                # the high-water (the overflow checks use ECAP-CCAP etc.)
+                vcap=_round_up(int(hwv * 1.05) + ccap_t + 8192),
+                ecap=_round_up(int(hwe * 1.05) + ccap_t + conncap_t + 8192),
+                ccap=ccap_t,
+                hcap=_round_up(int(hwh * 1.3) + 512, 2048),
+                pcap=_round_up(int(hwp * 1.15) + 4096),
+                kcap=caps.kcap, wcap=caps.wcap,
+                conncap=conncap_t)
             break
         # root-cause retry: once a capacity buffer overflows, the dynamics
         # downstream are garbage and every later flag is noise — grow only
