@@ -104,17 +104,18 @@ def _compact_lanes(mask, K: int):
 
 
 def _pack_base3(signs, col_active):
-    """Pack 33 ternary sign columns into 3 int32 keys (11 base-3 digits each).
+    """Pack 33 ternary sign columns into 2 int32 keys (19 + 14 base-3 digits;
+    3^19 < 2^31).
 
     Inactive columns contribute a constant digit, so they never split groups.
     Equal keys <=> equal active sign rows (exact encoding, no hashing).
     """
     digits = jnp.where(col_active[None, :], signs + 1, 0)
     keys = []
-    for g in range(3):
+    for lo, hi in ((0, 19), (19, 33)):
         k = jnp.zeros(signs.shape[0], jnp.int32)
-        for j in range(11):
-            k = k * 3 + digits[:, g * 11 + j]
+        for j in range(lo, hi):
+            k = k * 3 + digits[:, j]
         keys.append(k)
     return keys
 
@@ -403,10 +404,9 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         col = jnp.arange(R_COLS, dtype=jnp.int32)
         future = col >= idx              # m[:, m_idx:] (subpoly.py:256-258)
-        k1, k2, k3 = _pack_base3(_eps_sign(OUT, eps), future)
+        k1, k2 = _pack_base3(_eps_sign(OUT, eps), future)
 
-        differ = (k1[E[:, 0]] != k1[E[:, 1]]) | (k2[E[:, 0]] != k2[E[:, 1]]) \
-            | (k3[E[:, 0]] != k3[E[:, 1]])
+        differ = (k1[E[:, 0]] != k1[E[:, 1]]) | (k2[E[:, 0]] != k2[E[:, 1]])
         keep = aliveE & differ
 
         # compact surviving edges to the prefix (order-preserving, sort-free)
