@@ -190,12 +190,16 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         start_v = jnp.minimum(nV, VCAP - CCAP)  # out-of-range already flagged
         V = jax.lax.dynamic_update_slice(V, cand_v, (start_v, 0))
         OUT = jax.lax.dynamic_update_slice(OUT, cand_out, (start_v, 0))
-        aliveV = jax.lax.dynamic_update_slice(aliveV, cval, (start_v,))
+        # aliveV is not maintained per step: liveness is implied by aliveE
+        # (the hit scan walks edges); the epilogue recomputes it once
 
         # --- 7. edge rewrite + right-edge append (subpoly.py:210-215) ----------
         rank = jnp.cumsum(split.astype(jnp.int32)) - 1
         new_id = nV + rank
         old_second = E[lanes, 1]
+        aliveE_pre = aliveE           # pre-append liveness, for the hit scan
+        e0_col = E[:, 0]              # pre-rewrite endpoints, ditto
+        e1_col = E[:, 1]
         E = jnp.stack([E[:, 0], jnp.where(split, new_id, E[:, 1])], axis=-1)
         e_app = jnp.stack(
             [jnp.where(cval, old_second, 0),
@@ -215,10 +219,24 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             return state
 
         # --- 8. candidates for connecting edges: new + eps-hit old vertices ----
-        #     (subpoly.py:232-239); hits are *live* old vertices only
-        v_lane = jnp.arange(VCAP, dtype=jnp.int32)
-        hit = aliveV & (v_lane < nV) & (jnp.abs(outcol) < eps)
-        hlanes, hval, n_hit = _compact_lanes(hit, HCAP)
+        #     (subpoly.py:232-239); hits are *live* old vertices only.  Live
+        #     == referenced by an alive edge, so the eps-hit endpoints of the
+        #     (pre-append) alive edges ARE the hit set — found with one edge
+        #     compaction + a tiny sort instead of per-step vertex liveness
+        #     (which needed a bool scatter every prune).
+        h0 = jnp.abs(d0) < eps
+        h1 = jnp.abs(d1) < eps
+        he = aliveE_pre & (h0 | h1)
+        HE = 4 * HCAP  # hit vertices appear once per incident edge
+        helanes, heval, n_he = _compact_lanes(he, HE)
+        ovf = ovf | jnp.where(n_he > HE, OVF_H, 0)
+        ids0 = jnp.where(heval & h0[helanes], e0_col[helanes], VCAP)
+        ids1 = jnp.where(heval & h1[helanes], e1_col[helanes], VCAP)
+        sids = jax.lax.sort(jnp.concatenate([ids0, ids1]))
+        uniq_h = jnp.concatenate([jnp.ones(1, bool), sids[1:] != sids[:-1]]) \
+            & (sids < VCAP)
+        hulanes, hval, n_hit = _compact_lanes(uniq_h, HCAP)
+        hlanes = jnp.where(hval, sids[hulanes], 0)  # ascending vertex ids
         ovf = ovf | jnp.where(n_hit > HCAP, OVF_H, 0)
 
         # region data: new block from cand_v/cand_out, hit block from V/OUT
@@ -411,18 +429,14 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         # compact surviving edges to the prefix (order-preserving, sort-free)
         # so the edge pool only needs to hold the live maximum plus one
-        # step's appends, not every edge ever created
+        # step's appends, not every edge ever created.  Vertex liveness is
+        # implied by edge liveness (hits scan edges) — no scatter needed here.
         lanes, val, n_keep = _compact_lanes(keep, ECAP)
         E = jnp.where(val[:, None], E[lanes], 0)
         nE = n_keep
         aliveE = val
 
-        # vertices used by surviving edges (the one scatter in the loop)
-        used = jnp.zeros(VCAP, bool)
-        used = used.at[jnp.where(val, E[:, 0], VCAP)].set(True, mode="drop")
-        used = used.at[jnp.where(val, E[:, 1], VCAP)].set(True, mode="drop")
-
-        return State(V, OUT, E, used, aliveE, nV, nE, ovf, hw)
+        return State(V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw)
 
     return step, _prune
 
@@ -454,7 +468,10 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         # extract_skeleton: |last col| < eps, inside [0,1]^D (subpoly.py:556-581)
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
         xu = preprocess(spec, V)
-        keep_v = aliveV & (jnp.abs(OUT[:, -1]) < eps) \
+        # vertex liveness need not be tracked: dead vertices cannot appear in
+        # alive edges, and only e_keep feeds the final used set
+        v_lane = jnp.arange(VCAP, dtype=jnp.int32)
+        keep_v = (v_lane < nV) & (jnp.abs(OUT[:, -1]) < eps) \
             & (xu <= 1).all(-1) & (xu >= 0).all(-1)
         e_keep = aliveE & keep_v[E[:, 0]] & keep_v[E[:, 1]]
 
