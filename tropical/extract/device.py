@@ -43,11 +43,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from tropical.core.net import NetSpec, net_outputs, preprocess
+from tropical.core.trilinear import intersection_of_two_planes
 
 R_COLS = 33  # (num_layers-1)*num_hidden + 1 for the 3x16 architecture
 D = 3
 
 OVF_V, OVF_E, OVF_C, OVF_P, OVF_K, OVF_W, OVF_H = 1, 2, 4, 8, 16, 32, 64
+OVF_X = 128  # invariant violation: a curved edge lies on no earlier plane
 
 
 @dataclass(frozen=True)
@@ -120,11 +122,31 @@ def _pack_base3(signs, col_active):
     return keys
 
 
+def _corner_points(e0, e1):
+    """[B,3] x2 endpoint coords -> [B, 8, 3] cube corners, z-major bit order
+    idx = 4i + 2j + k -> (x_k, y_j, z_i) (reference geometry.py:350-372)."""
+    cs = []
+    for i in range(2):
+        for j in range(2):
+            for k in range(2):
+                cs.append(jnp.stack([
+                    e1[:, 0] if k else e0[:, 0],
+                    e1[:, 1] if j else e0[:, 1],
+                    e1[:, 2] if i else e0[:, 2]], axis=-1))
+    return jnp.stack(cs, axis=1)
+
+
 def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
-                 disable: frozenset = frozenset()):
+                 disable: frozenset = frozenset(), force: bool = True):
     """``disable`` is a profiling knob: any of {"forward", "override",
     "pairs", "repsort", "windows", "prune"} cuts a stage out to isolate
-    costs (results are then of course not meaningful)."""
+    costs (results are then of course not meaningful).
+
+    ``force=True`` is the flat-assumption path (reference -f default);
+    ``force=False`` adds the bi-/tri-linear correction: corner-cube group-8
+    forwards, the x=z quartic intersection, the projected-GD rescue
+    (subpoly_debug.py:121-165) and the strict on-surface filter
+    (subpoly_debug.py:234-271)."""
     VCAP, ECAP, CCAP, HCAP, PCAP = (caps.vcap, caps.ecap, caps.ccap,
                                     caps.hcap, caps.pcap)
     KCAP, WCAP = caps.kcap, caps.wcap
@@ -171,6 +193,92 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         v1 = V[ce1]
         cand_v = v0 * (1 - wgt[:, None]) + v1 * wgt[:, None]
 
+        col = jnp.arange(R_COLS, dtype=jnp.int32)[None, :]
+        sgn0 = _eps_sign(OUT[ce0], eps)
+        sgn1 = _eps_sign(OUT[ce1], eps)
+
+        if not force:
+            # --- 3b. bi-/tri-linear correction (subpoly.py:120-183) ------------
+            e0w = V[ce0]
+            e1w = V[ce1]
+            curved_raw = cval & (((jnp.abs(e1w - e0w) > eps).sum(-1)) > 1)
+            curved = curved_raw
+
+            # the earlier plane each curved edge lies on: last shared zero
+            # column below idx (subpoly.py:131-151; reference exits when a
+            # curved edge lies on no earlier plane — flagged here instead)
+            r_edges = (sgn0 == 0) & (sgn1 == 0) & (col < idx)
+            has_plane = r_edges.any(-1)
+            curved = curved & has_plane
+            inds = (R_COLS - 1
+                    - jnp.argmax(r_edges[:, ::-1], axis=-1)).astype(jnp.int32)
+            inds = jnp.where(has_plane, inds, 0)
+
+            # corner-cube outputs in one shared linear region (group=8)
+            corners = _corner_points(e0w, e1w).reshape(-1, 3)
+            d_corner = net_outputs(spec, params, corners, group=8)
+            d_corner = d_corner.reshape(CCAP, 8, R_COLS)
+            p = jnp.take_along_axis(
+                d_corner, inds[:, None, None].repeat(8, 1), axis=2)[..., 0]
+            q = jnp.take_along_axis(
+                d_corner, jnp.broadcast_to(idx, (CCAP,))[:, None, None]
+                .repeat(8, 1), axis=2)[..., 0]
+
+            ints = intersection_of_two_planes(p, q)            # [CCAP, 3]
+            gg = ((ints < 0) | (ints > 1)).any(-1)
+
+            cand_cv = e0w + ints * (e1w - e0w)
+            outs_cv = net_outputs(spec, params, cand_cv)
+            d_new0 = jnp.take_along_axis(outs_cv, inds[:, None], 1)[:, 0]
+            d_new1 = jnp.take_along_axis(
+                outs_cv, jnp.broadcast_to(idx, (CCAP,))[:, None], 1)[:, 0]
+
+            # projected-GD rescue of off-surface intersections
+            # (subpoly_debug.py:121-165): all active rows step together until
+            # the max residual converges, exactly like the reference
+            gd = curved & ~gg & ((jnp.abs(d_new0) > eps)
+                                 | (jnp.abs(d_new1) > eps))
+
+            def gd_cond(carry):
+                x, pd0, pd1, i = carry
+                m0 = jnp.where(gd, jnp.abs(pd0), 0.0).max()
+                m1 = jnp.where(gd, jnp.abs(pd1), 0.0).max()
+                return ((m0 > eps) | (m1 > eps)) & (i < 500)
+
+            def gd_body(carry):
+                x, pd0, pd1, i = carry
+
+                def loss(x):
+                    pts = e0w + x * (e1w - e0w)
+                    outs = net_outputs(spec, params, pts)
+                    a = jnp.take_along_axis(outs, inds[:, None], 1)[:, 0]
+                    b_ = jnp.take_along_axis(
+                        outs, jnp.broadcast_to(idx, (CCAP,))[:, None],
+                        1)[:, 0]
+                    y = jnp.where(gd, a ** 2 + b_ ** 2, 0.0).sum()
+                    return y, (a, b_)
+
+                (_, (a, b_)), g = jax.value_and_grad(loss, has_aux=True)(x)
+                gn = g / jnp.maximum(
+                    jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+                x2 = jnp.clip(x - 1e-2 * gn, 0.0, 1.0)
+                x2 = jnp.where(gd[:, None], x2, x)
+                return x2, jnp.where(gd, a, pd0), jnp.where(gd, b_, pd1), i + 1
+
+            init_pd = (jnp.where(gd, 1.0, 0.0), jnp.where(gd, 1.0, 0.0))
+            x_gd, pd0, pd1, _ = jax.lax.while_loop(
+                gd_cond, gd_body, (ints, *init_pd, jnp.int32(0)))
+            ints = jnp.where(gd[:, None], x_gd, ints)
+            d_new0 = jnp.where(gd, pd0, d_new0)
+            d_new1 = jnp.where(gd, pd1, d_new1)
+            # no-intersection rows pass the old-vertex filter by fiat
+            # (strict_check sets d_new[gg, 0] = 0; subpoly_debug.py:246)
+            d_new0 = jnp.where(gg, 0.0, d_new0)
+
+            # mix: curved rows take the trilinear intersection point
+            cand_v = jnp.where(curved[:, None],
+                               e0w + ints * (e1w - e0w), cand_v)
+
         # --- 4. forward on the new vertices -----------------------------------
         if "forward" not in disable:
             cand_out = net_outputs(spec, params, cand_v)   # [CCAP, R]
@@ -178,39 +286,59 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             cand_out = jnp.zeros((CCAP, R_COLS), jnp.float32) + cand_v[:, :1]
 
         # --- 5. sign-override failover (subpoly_debug.py:33-51) ---------------
-        col = jnp.arange(R_COLS, dtype=jnp.int32)[None, :]
         if "override" not in disable:
-            sgn0 = _eps_sign(OUT[ce0], eps)
-            sgn1 = _eps_sign(OUT[ce1], eps)
             b = ((sgn0 == 0) & (sgn1 == 0) & (col < idx)) | (col == idx)
             viol = (cval[:, None] & b & (jnp.abs(cand_out) > eps)).any()
             cand_out = jnp.where(viol & b, 0.0, cand_out)
 
+        # --- 5b. strict on-surface filter (subpoly_debug.py:234-271) -----------
+        if force:
+            keep_c = cval
+        else:
+            chk = jnp.take_along_axis(
+                cand_out, jnp.broadcast_to(idx, (CCAP,))[:, None], 1)[:, 0]
+            chk_ok = jnp.abs(chk) < eps
+            # curved: on-surface, a real in-range intersection, and the parent
+            # plane residual within eps; no-earlier-plane rows are dropped
+            # (the reference hard-exits there, subpoly.py:143-148)
+            keep_cv = chk_ok & ~gg & (jnp.abs(d_new0) < eps) & has_plane
+            keep_c = cval & jnp.where(curved_raw, keep_cv, chk_ok)
+
+        # survivors, compacted to the front of the append block
+        rank2 = jnp.cumsum(keep_c.astype(jnp.int32)) - 1
+        n_new = keep_c.sum().astype(jnp.int32)
+        slanes, sval, _ = _compact_lanes(keep_c, CCAP)
+        cand_v_s = cand_v[slanes]
+        cand_out_s = cand_out[slanes]
+
         # --- 6. append new vertices (contiguous block writes) ------------------
         start_v = jnp.minimum(nV, VCAP - CCAP)  # out-of-range already flagged
-        V = jax.lax.dynamic_update_slice(V, cand_v, (start_v, 0))
-        OUT = jax.lax.dynamic_update_slice(OUT, cand_out, (start_v, 0))
+        V = jax.lax.dynamic_update_slice(V, cand_v_s, (start_v, 0))
+        OUT = jax.lax.dynamic_update_slice(OUT, cand_out_s, (start_v, 0))
         # aliveV is not maintained per step: liveness is implied by aliveE
         # (the hit scan walks edges); the epilogue recomputes it once
 
         # --- 7. edge rewrite + right-edge append (subpoly.py:210-215) ----------
+        # lane -> candidate index -> survivor rank (gathers only, no scatter)
         rank = jnp.cumsum(split.astype(jnp.int32)) - 1
-        new_id = nV + rank
+        split_kept = split & keep_c[rank]
+        new_id = nV + rank2[rank]
         old_second = E[lanes, 1]
         aliveE_pre = aliveE           # pre-append liveness, for the hit scan
         e0_col = E[:, 0]              # pre-rewrite endpoints, ditto
         e1_col = E[:, 1]
-        E = jnp.stack([E[:, 0], jnp.where(split, new_id, E[:, 1])], axis=-1)
+        E = jnp.stack(
+            [E[:, 0], jnp.where(split_kept, new_id, E[:, 1])], axis=-1)
         e_app = jnp.stack(
-            [jnp.where(cval, old_second, 0),
-             jnp.where(cval, nV + jnp.arange(CCAP, dtype=jnp.int32), 0)],
+            [jnp.where(sval, old_second[slanes], 0),
+             jnp.where(sval, nV + jnp.arange(CCAP, dtype=jnp.int32), 0)],
             axis=-1)
         start_e = jnp.minimum(nE, ECAP - CCAP)
-        ovf = ovf | jnp.where(nE + n_split > ECAP - CCAP, OVF_E, 0)
+        ovf = ovf | jnp.where(nE + n_new > ECAP - CCAP, OVF_E, 0)
         E = jax.lax.dynamic_update_slice(E, e_app, (start_e, 0))
-        aliveE = jax.lax.dynamic_update_slice(aliveE, cval, (start_e,))
-        nE2 = nE + n_split
-        nV2 = nV + n_split
+        aliveE = jax.lax.dynamic_update_slice(aliveE, sval, (start_e,))
+        nE2 = nE + n_new
+        nV2 = nV + n_new
 
         if "pairs" in disable:  # profiling cut: skip stages 8-12
             state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
@@ -239,14 +367,14 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         hlanes = jnp.where(hval, sids[hulanes], 0)  # ascending vertex ids
         ovf = ovf | jnp.where(n_hit > HCAP, OVF_H, 0)
 
-        # region data: new block from cand_v/cand_out, hit block from V/OUT
+        # region data: new (surviving) block, then the hit block from V/OUT
         hv = V[hlanes]
         hout = OUT[hlanes]
-        all_v = jnp.concatenate([cand_v, hv], axis=0)          # [CAND, 3]
-        all_out = jnp.concatenate([cand_out, hout], axis=0)    # [CAND, R]
+        all_v = jnp.concatenate([cand_v_s, hv], axis=0)        # [CAND, 3]
+        all_out = jnp.concatenate([cand_out_s, hout], axis=0)  # [CAND, R]
         all_vid = jnp.concatenate(
             [nV + jnp.arange(CCAP, dtype=jnp.int32), hlanes])
-        all_valid = jnp.concatenate([cval, hval])
+        all_valid = jnp.concatenate([sval, hval])
 
         xu = preprocess(spec, all_v)
         cand_g, cand_o = _grid_region(marks, xu, eps)           # [CAND, 3]
@@ -442,10 +570,15 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
 
 def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
-                    disable: frozenset = frozenset()):
+                    disable: frozenset = frozenset(), force: bool = True,
+                    stop_before_final: bool = False):
     """One jitted program: 32 hidden insertions + the final-layer insertion +
-    the |sdf|<eps skeleton filter (reference subpoly.py:60-74,556-581)."""
-    step, _ = make_step_fn(spec, caps, eps, disable)
+    the |sdf|<eps skeleton filter (reference subpoly.py:60-74,556-581).
+
+    ``stop_before_final`` is a debug knob: return the raw padded state after
+    the hidden insertions (V, OUT, E, aliveE-compacted edges) for cross-engine
+    divergence hunting."""
+    step, _ = make_step_fn(spec, caps, eps, disable, force)
     VCAP, ECAP = caps.vcap, caps.ecap
     n_hidden_steps = (spec.num_layers - 1) * spec.num_hidden
 
@@ -461,6 +594,8 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
             return step(params, marks, st, i, prune=True)
 
         state = jax.lax.fori_loop(0, n_hidden_steps, body, state)
+        if stop_before_final:
+            return state
         # final layer (h == num_hidden): no pruning (subpoly.py:67-69,253)
         state = step(params, marks, state, jnp.int32(n_hidden_steps),
                      prune=False)
@@ -586,8 +721,10 @@ _GOOD_CAPS: dict = {}
 
 
 def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
-                   verbose: bool = True, caps: Caps | None = None):
-    """Drop-in fast path for ``subpoly(..., force=True)``.
+                   verbose: bool = True, caps: Caps | None = None,
+                   force: bool = True):
+    """Drop-in fast path for ``subpoly``; force=False enables the exact
+    bi-/tri-linear intersection path.
 
     Returns (faces [T,3,3], vertices [V,3], triangles [T,3]).  Retries with
     enlarged caps if any capacity overflowed.
@@ -596,7 +733,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     from tropical.extract.skeleton import get_hypercube, grid_skeleton
 
     M = int(net.marks.shape[0])
-    size_key = (net.spec, M)
+    size_key = (net.spec, M, force)
     caps = caps or _GOOD_CAPS.get(size_key)
 
     def _device_skeleton(caps):
@@ -633,9 +770,10 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             Vp, Op, Ep, nV0, nE0, ovf_s = _device_skeleton(caps)
             ovf_s = int(ovf_s)
 
-        key = (net.spec, caps, eps)
+        key = (net.spec, caps, eps, force)
         if key not in _EXTRACT_CACHE:
-            _EXTRACT_CACHE[key] = make_extract_fn(net.spec, caps, eps)
+            _EXTRACT_CACHE[key] = make_extract_fn(net.spec, caps, eps,
+                                                  force=force)
         extract = _EXTRACT_CACHE[key]
 
         V, OUT, E, nV, nE, ovf, hw = extract(

@@ -214,15 +214,14 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
     host-orchestrated loop otherwise; "host"/"device" force a choice.
     """
     if engine == "auto":
-        engine = "device" if force else "host"
+        engine = "device"
     if engine == "device":
-        assert force, "the fused device engine implements the force path"
         from tropical.extract.device import subpoly_device
 
         if verbose:
             print()
             print("# of vertices and edges = ", end="")
-        return subpoly_device(net, d, size, eps, verbose=verbose)
+        return subpoly_device(net, d, size, eps, verbose=verbose, force=force)
 
     with PHASES("skeleton"):
         vertices, edges = grid_skeleton(net)
