@@ -1,0 +1,116 @@
+"""Per-stage cost profile of the fused device extraction engine.
+
+Runs the single-dispatch extraction with each 'disable' knob (profiling cuts
+that remove pipeline stages) and prints stage deltas.  Run on the real TPU:
+
+    python scripts/profile_device.py [small|medium]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def force(x):
+    """Force device completion: block_until_ready does NOT block on the axon
+    backend; a 1-element device-side slice pull does."""
+    leaves = jax.tree_util.tree_leaves(x)
+    for leaf in leaves[::-1]:
+        if hasattr(leaf, 'ravel') and getattr(leaf, 'size', 0) > 0:
+            np.asarray(leaf.ravel()[:1])
+            return
+
+sys.path.insert(0, ".")
+
+from tropical.extract.device import (Caps, _GOOD_CAPS, make_extract_fn,
+                                     make_skeleton_fn, subpoly_device)
+from tropical.stanford.model import Net
+from tropical.utils import checkpoint as ckpt
+
+
+def get_net(size: str):
+    r_max = {"small": 32, "medium": 64}[size]
+    net = Net(num_layers=3, num_hidden=16, levels=4, r_min=2 if size == "small"
+              else 4, r_max=r_max, T=19, key=jax.random.PRNGKey(1))
+    path = f"tropical/stanford/models/sphere/sphere_sdf_{size}_1.pth"
+    found = ckpt.find_checkpoint(path)
+    assert found, path
+    ckpt.load_into(net, found)
+    return net
+
+
+def main():
+    size = sys.argv[1] if len(sys.argv) > 1 else "small"
+    net = get_net(size)
+
+    # one clean run to memoize tight caps and warm the skeleton path
+    t0 = time.time()
+    subpoly_device(net, verbose=False, force=True)
+    print(f"cold run {time.time() - t0:.2f}s")
+    t0 = time.time()
+    _, verts, tris = subpoly_device(net, verbose=False, force=True)
+    warm_total = time.time() - t0
+    print(f"warm run {warm_total:.2f}s  ({verts.shape[0]} verts, "
+          f"{verts.shape[0]/warm_total:.0f} v/s)")
+
+    M = int(net.marks.shape[0])
+    size_key = (net.spec, M, True)
+    caps = _GOOD_CAPS[size_key]
+    print("caps:", caps)
+
+    skel = make_skeleton_fn(net.spec, caps, M, 1e-4)
+    Vp, Op, Ep, nV0, nE0, _ = skel(net.params, net.marks)
+    force(nE0)
+
+    variants = [
+        ("full", frozenset()),
+        ("no-prune", frozenset({"prune"})),
+        ("stop@dedup", frozenset({"dedup"})),
+        ("stop@paircompact", frozenset({"paircompact"})),
+        ("stop@windows", frozenset({"windows"})),
+        ("stop@repsort", frozenset({"repsort"})),
+        ("stop@pairs", frozenset({"pairs"})),
+        ("no-forward", frozenset({"forward"})),
+    ]
+    times = {}
+    for name, dis in variants:
+        fn = make_extract_fn(net.spec, caps, 1e-4, disable=dis, force=True)
+        out = fn(net.params, net.marks, Vp, Op, Ep, nV0, nE0)
+        force(out)  # compile+warm
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(net.params, net.marks, Vp, Op, Ep, nV0, nE0)
+            force(out)
+            reps.append(time.time() - t0)
+        times[name] = min(reps)
+        print(f"{name:18s} {times[name]*1000:8.1f} ms")
+
+    # skeleton cost
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        out = skel(net.params, net.marks)
+        force(out)
+        reps.append(time.time() - t0)
+    print(f"{'skeleton':18s} {min(reps)*1000:8.1f} ms")
+
+    print()
+    print("stage deltas (ms):")
+    print(f"  prune           {1000*(times['full'] - times['no-prune']):8.1f}")
+    print(f"  dedup+append    {1000*(times['full'] - times['stop@dedup']):8.1f}")
+    print(f"  pair filter     {1000*(times['stop@dedup'] - times['stop@paircompact']):8.1f}")
+    print(f"  window compare  {1000*(times['stop@paircompact'] - times['stop@windows']):8.1f}")
+    print(f"  repsort         {1000*(times['stop@windows'] - times['stop@repsort']):8.1f}")
+    print(f"  expansion       {1000*(times['stop@repsort'] - times['stop@pairs']):8.1f}")
+    print(f"  stages1-7       {1000*times['stop@pairs']:8.1f}")
+    print(f"  fwd cost        {1000*(times['full'] - times['no-forward']):8.1f}")
+
+
+if __name__ == "__main__":
+    main()

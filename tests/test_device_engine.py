@@ -22,8 +22,9 @@ def _host_skeleton(net):
                                         force=True)
     V, E, outputs = sp.subpoly_(V, E, net, net.num_layers - 2,
                                 net.num_hidden, 1e-4, outputs, force=True)
+    pre = (V.shape[0], E.shape[0])  # the funnel's "A/B" (subpoly.py:71-84)
     V, E, v_idx = extract_skeleton(V, E, outputs, net, 1e-4)
-    return V, E
+    return V, E, pre
 
 
 def _device_skeleton(net):
@@ -43,17 +44,21 @@ def _device_skeleton(net):
     Op[:V0.shape[0]] = out0
     Ep = np.zeros((caps.ecap, 2), np.int32)
     Ep[:E0.shape[0]] = E0
-    V, OUT, E, nV, nE, ovf, hw = extract(net.params, net.marks, Vp, Op, Ep,
-                                         np.int32(V0.shape[0]),
-                                         np.int32(E0.shape[0]))
+    V, OUT, E, nV, nE, ovf, hw, nV_pre, nE_pre = extract(
+        net.params, net.marks, Vp, Op, Ep,
+        np.int32(V0.shape[0]), np.int32(E0.shape[0]))
     assert int(ovf) == 0, f"capacity overflow mask {int(ovf)}"
     n_v, n_e = int(nV), int(nE)
-    return np.asarray(V[:n_v]), np.asarray(E[:n_e]).astype(np.int64)
+    return (np.asarray(V[:n_v]), np.asarray(E[:n_e]).astype(np.int64),
+            (int(nV_pre), int(nE_pre)))
 
 
 def test_device_matches_host(trained_net):
-    Vh, Eh = _host_skeleton(trained_net)
-    Vd, Ed = _device_skeleton(trained_net)
+    Vh, Eh, pre_h = _host_skeleton(trained_net)
+    Vd, Ed, pre_d = _device_skeleton(trained_net)
+
+    # funnel "A/B" pre-filter counts must agree for golden-log parity
+    assert pre_h == pre_d, (pre_h, pre_d)
 
     assert Vh.shape == Vd.shape, (Vh.shape, Vd.shape)
     assert Eh.shape == Ed.shape, (Eh.shape, Ed.shape)

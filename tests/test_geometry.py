@@ -24,6 +24,77 @@ def test_poly_roots_against_numpy():
                 f"row {i}: {got[i]} not in {valid}"
 
 
+def _quartic_from_roots(roots, extra=(1.0, 1.0)):
+    """Monic quartic (t - r0)(t - r1)(t^2 + a t + b), descending coeffs."""
+    p = np.poly1d([1.0, -roots[0]]) * np.poly1d([1.0, -roots[1]]) \
+        * np.poly1d([1.0, extra[0], extra[1]])
+    return np.asarray(p.coeffs, np.float64)
+
+
+def test_poly_roots_pair_inside_one_cell():
+    # two distinct roots < 1/64 apart leave no sign change on the 65-sample
+    # grid; the derivative-extrema probe must still find the LAST one
+    # (the reference eigensolver finds these directly, geometry.py:271-299)
+    rng = np.random.default_rng(1)
+    rows, expect = [], []
+    for _ in range(64):
+        c = rng.uniform(0.05, 0.95)          # cell interior
+        d = rng.uniform(1e-4, 0.9) / 64.0    # pair separation < one cell
+        a, b = c - d / 2, c + d / 2
+        rows.append(_quartic_from_roots((a, b)))
+        expect.append(b)
+    got = np.asarray(poly_roots_01(jnp.asarray(np.stack(rows))))
+    err = np.abs(got - np.asarray(expect))
+    # float32 conditioning near a double root bounds precision at
+    # ~sqrt(machine eps); anything below the extraction's eps=1e-4
+    # on-surface tolerance is exact for the pipeline's purposes
+    assert (err < 1e-4).all(), err.max()
+
+
+def test_poly_roots_tangent_root():
+    # even-multiplicity roots: (t - a)^2 (t^2 + 1) touches zero without
+    # crossing; expect the root (or a clean -1 — never a wrong value)
+    rng = np.random.default_rng(2)
+    rows, expect = [], []
+    for _ in range(64):
+        a = rng.uniform(0.05, 0.95)
+        rows.append(_quartic_from_roots((a, a), extra=(0.0, 1.0)))
+        expect.append(a)
+    got = np.asarray(poly_roots_01(jnp.asarray(np.stack(rows))))
+    expect = np.asarray(expect)
+    # double roots are sqrt(eps)-conditioned in any solver (a defective
+    # eigenvalue perturbs by sqrt(machine eps) too): f32 bounds accuracy at
+    # ~sqrt(1e-7) ~ 3e-4 regardless of method
+    ok = (np.abs(got - expect) < 5e-4) | (got == -1)
+    assert ok.all(), np.abs(got - expect)[~ok]
+    # the probe should catch the overwhelming majority outright
+    assert (np.abs(got - expect) < 5e-4).mean() > 0.9
+
+
+def test_poly_roots_triple_cluster_stays_on_cluster():
+    # three roots inside one cell: near the cluster |p| ~ d^3 sits at the
+    # f32 evaluation-noise floor, so no solver (the reference's f32
+    # eigensolver included) can reliably rank the cluster members — but the
+    # returned value must always be ON the cluster (a true root up to
+    # conditioning), never a bogus point and never the -1 sentinel
+    rng = np.random.default_rng(3)
+    rows, lo_hi = [], []
+    for _ in range(64):
+        c = rng.uniform(0.1, 0.9)
+        d = rng.uniform(1e-3, 0.8) / 64.0
+        a, b, e = c - d, c, c + d
+        p = np.poly1d([1.0, -a]) * np.poly1d([1.0, -b]) \
+            * np.poly1d([1.0, -e]) * np.poly1d([1.0, 2.0])  # 4th root at -2
+        rows.append(np.asarray(p.coeffs, np.float64))
+        lo_hi.append((a, e))
+    got = np.asarray(poly_roots_01(jnp.asarray(np.stack(rows))))
+    lo, hi = np.asarray(lo_hi).T
+    # the f32 noise region around a triple root has half-width
+    # ~cbrt(machine eps) ~ 5e-3; anywhere inside it, p is numerically zero
+    assert (got >= lo - 5e-3).all() and (got <= hi + 5e-3).all(), \
+        list(zip(got, lo, hi))
+
+
 def test_poly_roots_degree_dispatch():
     # leading zeros: quadratic / linear / constant rows
     coeffs = np.array([

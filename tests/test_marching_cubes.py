@@ -1,0 +1,95 @@
+"""True marching cubes: table derivation, watertightness, metric parity.
+
+The 256-case tables are derived programmatically (face-loop walking with a
+fixed ambiguous-face convention); these tests pin the invariants that any
+correct MC must satisfy, plus CD agreement with the MT baseline (reference
+evaluate.py compares both families against the same MC pseudo-GT).
+"""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from tropical.utils.marching_cubes import (_EDGE_HI, _EDGE_LO, _NTRIS,
+                                           _TRI_TABLE, _case_loops,
+                                           marching_cubes)
+
+
+def test_table_shape_and_counts():
+    # standard MC: at most 5 triangles per case; 254 non-trivial cases
+    assert _NTRIS.max() == 5
+    assert (_NTRIS > 0).sum() == 254
+    assert _NTRIS[0] == 0 and _NTRIS[255] == 0
+
+
+def test_case_loops_cover_cut_edges_exactly_once():
+    for code in range(256):
+        loops = _case_loops(code)
+        flat = [e for lp in loops for e in lp]
+        assert len(flat) == len(set(flat))
+        inside = [(code >> c) & 1 for c in range(8)]
+        cut = [i for i in range(12)
+               if inside[_EDGE_LO[i]] != inside[_EDGE_HI[i]]]
+        assert sorted(flat) == sorted(cut), code
+
+
+def _boundary_imbalance(tris):
+    de = Counter()
+    for t in tris:
+        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            de[(a, b)] += 1
+    return sum(abs(de[(a, b)] - de[(b, a)]) for (a, b) in list(de) if a < b)
+
+
+def test_sphere_watertight_outward_euler():
+    res = 33
+    s = np.linspace(-1.2, 1.2, res)
+    gx, gy, gz = np.meshgrid(s, s, s, indexing="ij")
+    vals = 0.8 - np.sqrt(gx ** 2 + gy ** 2 + gz ** 2)  # inside-positive
+    verts, tris = marching_cubes(vals, s, s, s)
+
+    r = np.linalg.norm(verts, axis=1)
+    assert r.max() <= 0.8 + 1e-9 and r.min() > 0.75  # on the crossing
+
+    assert _boundary_imbalance(tris) == 0  # closed surface
+
+    edges = {(min(a, b), max(a, b))
+             for t in tris for a, b in ((t[0], t[1]), (t[1], t[2]),
+                                        (t[2], t[0]))}
+    assert len(verts) - len(edges) + len(tris) == 2  # sphere topology
+
+    v = verts[tris]
+    n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    c = v.mean(1)
+    assert ((n * c).sum(-1) > 0).all()  # normals point inside -> outside
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_fields_watertight(seed):
+    # junk fields maximize ambiguous-face coverage; the fixed face
+    # convention must still give a zero-boundary (crack-free) surface
+    rng = np.random.default_rng(seed)
+    res = 12
+    vals = rng.normal(size=(res, res, res))
+    vals[[0, -1], :, :] = -1.0
+    vals[:, [0, -1], :] = -1.0
+    vals[:, :, [0, -1]] = -1.0
+    s = np.linspace(-1, 1, res)
+    _, tris = marching_cubes(vals, s, s, s)
+    assert len(tris) and _boundary_imbalance(tris) == 0
+
+
+def test_mc_mt_cd_parity(trained_net):
+    # MC and MT sample the same interpolated crossings; their meshes must
+    # agree within a grid cell on chamfer distance
+    from tropical.utils.chamfer import chamfer_distance
+    from tropical.utils.isosurface import run_marching_tetrahedra
+    from tropical.utils.marching_cubes import run_marching_cubes
+
+    res = 48
+    mc = run_marching_cubes(trained_net, res, 1.2)
+    mt = run_marching_tetrahedra(trained_net, res, 1.2)
+    assert mc.vertices.shape[0] > 100
+    cd = chamfer_distance(np.asarray(mc.vertices), np.asarray(mt.vertices))
+    assert cd < 2 * 2.4 / (res - 1)  # within ~a cell diagonal

@@ -1,0 +1,102 @@
+"""Parallel layer: mesh construction, shardings, sharded train step parity.
+
+Runs on the 8-device virtual CPU mesh from conftest.  The reference has no
+distributed code (SURVEY §2.4/§5.8); these tests pin the additive multi-chip
+layer's contract: sharded results must equal single-device results exactly
+(same math, collectives inserted by XLA from shardings alone).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tropical.core.net import NetSpec, init_net_params, net_sdf
+from tropical.parallel.mesh import (make_mesh, shard_batch, shard_params,
+                                    sharded_apply, sharded_train_step,
+                                    table_sharding)
+from tropical.stanford.training import make_optimizer, make_train_step
+
+SPEC = NetSpec(num_layers=3, num_hidden=16, levels=4, r_min=2, r_max=16, T=19)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_net_params(SPEC, jax.random.PRNGKey(0))
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert set(mesh.shape) and np.prod(list(mesh.shape.values())) == 8
+    mesh2 = make_mesh(8, shape=(8, 1))
+    assert dict(mesh2.shape) == {"dp": 8, "mp": 1}
+
+
+def test_make_mesh_too_many_devices_raises():
+    with pytest.raises(ValueError, match="requested"):
+        make_mesh(len(jax.devices()) + 1)
+
+
+def test_make_mesh_bad_shape_raises():
+    with pytest.raises(ValueError, match="tile"):
+        make_mesh(8, shape=(3, 2))
+
+
+def test_shard_batch_pads_and_places():
+    mesh = make_mesh(8, shape=(8, 1))
+    x = jnp.arange(10 * 3, dtype=jnp.float32).reshape(10, 3)
+    xs = shard_batch(x, mesh)
+    assert xs.shape[0] % 8 == 0 and xs.shape[0] >= 10
+    np.testing.assert_array_equal(np.asarray(xs[:10]), np.asarray(x))
+    assert np.asarray(xs[10:]).sum() == 0  # zero padding
+    assert len(xs.sharding.device_set) == 8
+
+
+def test_table_sharding_places_shards(params):
+    mesh = make_mesh(8, shape=(4, 2))
+    sp = shard_params(params, mesh)
+    assert sp["table"].sharding == table_sharding(mesh)
+    # the entry axis is actually split over mp: each shard holds half
+    shard_rows = {s.data.shape[0] for s in sp["table"].addressable_shards}
+    assert shard_rows == {params["table"].shape[0] // 2}
+    np.testing.assert_array_equal(np.asarray(sp["table"]),
+                                  np.asarray(params["table"]))
+
+
+def test_sharded_apply_matches_unsharded_and_slices_padding(params):
+    mesh = make_mesh(8, shape=(4, 2))
+    fn = lambda p, x: net_sdf(SPEC, p, x)  # noqa: E731
+    apply = sharded_apply(fn, mesh)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (37, 3)),
+                    jnp.float32)  # 37 is not a multiple of dp=4
+    y = apply(params, x)
+    assert y.shape[0] == 37  # phantom padded rows must be sliced off
+    y_ref = jax.jit(fn)(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("batch", [32, 37])  # divisible and ragged
+def test_sharded_train_step_matches_single_device(params, batch):
+    mesh = make_mesh(8, shape=(4, 2))
+    tx, _ = make_optimizer(1e-3, 10)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (batch, 3)).astype(np.float32)
+    y = rng.uniform(-0.1, 0.1, batch).astype(np.float32)
+
+    # single device reference
+    step_1 = make_train_step(SPEC, tx, batch)
+    p1, _, total1, l11 = step_1(params, tx.init(params),
+                                jnp.asarray(x), jnp.asarray(y))
+
+    # sharded: pad to a dp multiple, mask padding out via n_valid
+    sp = shard_params(params, mesh)
+    step_n = sharded_train_step(SPEC, tx, batch, mesh)
+    pn, _, totaln, l1n = step_n(sp, tx.init(sp), shard_batch(x, mesh),
+                                shard_batch(y, mesh), n_valid=batch)
+
+    assert abs(float(total1) - float(totaln)) < 1e-6
+    assert abs(float(l11) - float(l1n)) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(pn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -12,6 +12,18 @@ module there); the implementation is a new TPU-first design:
 - polynomial roots are closed-form/bracketed (no LAPACK eig on TPU).
 """
 
+import os as _os
+
+if _os.environ.get("TROPICAL_NO_COMPILE_CACHE") != "1":
+    # persistent XLA compilation cache: the fused extraction program costs
+    # ~1-3 min to compile; caching it makes every CLI invocation after the
+    # first start warm (the reference's CUDA kernels are likewise AOT).
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.expanduser("~/.cache/tropical-xla"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from tropical.core.hashgrid import HashGridSpec, Tropical, TropicalHashGrid
 from tropical.version import __version__
 

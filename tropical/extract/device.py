@@ -209,6 +209,12 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             # curved edge lies on no earlier plane — flagged here instead)
             r_edges = (sgn0 == 0) & (sgn1 == 0) & (col < idx)
             has_plane = r_edges.any(-1)
+            # a curved split edge lying on NO earlier plane breaks the
+            # reference's invariant (it hard-exits, subpoly.py:141-148);
+            # flag it so the host can detect the break instead of silently
+            # masking the edge out
+            ovf = ovf | jnp.where((curved_raw & ~has_plane).any(),
+                                  jnp.int32(OVF_X), 0)
             curved = curved & has_plane
             inds = (R_COLS - 1
                     - jnp.argmax(r_edges[:, ::-1], axis=-1)).astype(jnp.int32)
@@ -602,6 +608,18 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
 
         # extract_skeleton: |last col| < eps, inside [0,1]^D (subpoly.py:556-581)
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
+
+        # pre-filter funnel counts (the reference's "A/B" in its
+        # "# of vertices and edges = A/B => C/D" line, subpoly.py:71-84):
+        # A = vertices referenced by live edges after the final insertion
+        # (the host engine compacts to exactly that set), B = live edges
+        used_pre = jnp.zeros(VCAP, bool)
+        used_pre = used_pre.at[jnp.where(aliveE, E[:, 0], VCAP)].set(
+            True, mode="drop")
+        used_pre = used_pre.at[jnp.where(aliveE, E[:, 1], VCAP)].set(
+            True, mode="drop")
+        nV_pre = used_pre.sum().astype(jnp.int32)
+
         xu = preprocess(spec, V)
         # vertex liveness need not be tracked: dead vertices cannot appear in
         # alive edges, and only e_keep feeds the final used set
@@ -623,7 +641,7 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         elanes, eval_, n_ekeep = _compact_lanes(e_keep, ECAP)
         E = jnp.where(eval_[:, None], new_index[E[elanes]], 0)
 
-        return V, OUT, E, n_used, n_ekeep, ovf, hw
+        return V, OUT, E, n_used, n_ekeep, ovf, hw, nV_pre, nE
 
     return extract
 
@@ -720,6 +738,28 @@ _EXTRACT_CACHE: dict = {}
 _GOOD_CAPS: dict = {}
 
 
+def _evict_stale_programs(keep: int = 2) -> None:
+    """Keep at most ``keep`` compiled programs per (family minus caps) —
+    every overflow-retry compiles a fresh multi-second XLA program keyed by
+    its full Caps tuple, and without eviction the ramp's intermediate
+    programs live forever (real memory at large caps)."""
+    by_family: dict = {}
+    for k in _EXTRACT_CACHE:
+        fam = tuple(x for x in k if not isinstance(x, Caps))
+        by_family.setdefault(fam, []).append(k)
+    for keys in by_family.values():
+        for k in keys[:-keep]:  # dicts are insertion-ordered: oldest first
+            del _EXTRACT_CACHE[k]
+
+
+def device_engine_supports(net) -> bool:
+    """The fused engine hard-codes R_COLS=33 sign columns and packs grid-cell
+    offsets into 9-bit fields (valid only for len(marks) <= 511); any other
+    net must take the host engine (which is shape-generic)."""
+    r = (net.num_layers - 1) * net.num_hidden + 1
+    return r == R_COLS and int(net.marks.shape[0]) <= 511
+
+
 def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                    verbose: bool = True, caps: Caps | None = None,
                    force: bool = True):
@@ -731,6 +771,12 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     """
     from tropical.extract.faces import extract_faces
     from tropical.extract.skeleton import get_hypercube, grid_skeleton
+
+    if not device_engine_supports(net):
+        raise ValueError(
+            f"device engine supports only {R_COLS}-column nets with <=511 "
+            f"marks (got {(net.num_layers - 1) * net.num_hidden + 1} cols, "
+            f"{int(net.marks.shape[0])} marks); use engine='host'")
 
     M = int(net.marks.shape[0])
     size_key = (net.spec, M, force)
@@ -776,9 +822,16 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                                                   force=force)
         extract = _EXTRACT_CACHE[key]
 
-        V, OUT, E, nV, nE, ovf, hw = extract(
+        V, OUT, E, nV, nE, ovf, hw, nV_pre, nE_pre = extract(
             net.params, net.marks, Vp, Op, Ep, nV0, nE0)
         ovf = int(ovf) | ovf_s
+        if ovf & OVF_X:
+            # invariant violation, not a capacity problem: a curved split
+            # edge lies on no earlier plane (the reference hard-exits here,
+            # subpoly.py:141-148) — retrying with bigger caps cannot help
+            raise RuntimeError(
+                "curved split edge lies on no earlier plane (reference "
+                "invariant subpoly.py:141-148); extraction aborted")
         if ovf == 0:
             # memoize *tight* caps from the run's high-water marks rather
             # than whatever the overflow-retry ramp landed on — every padded
@@ -796,6 +849,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 pcap=_round_up(int(hwp * 1.15) + 4096),
                 kcap=caps.kcap, wcap=caps.wcap,
                 conncap=conncap_t)
+            _evict_stale_programs()
             break
         # root-cause retry: once a capacity buffer overflows, the dynamics
         # downstream are garbage and every later flag is noise — grow only
@@ -834,7 +888,9 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     edges = np.asarray(E[:n_e]).astype(np.int64)
 
     if verbose:
-        print(f"{vertices.shape[0]}/{edges.shape[0]}", end=", ")
+        # reference funnel line format (subpoly.py:71-84): A/B => C/D
+        print(f"{int(nV_pre)}/{int(nE_pre)} => "
+              f"{vertices.shape[0]}/{edges.shape[0]}", end=", ")
 
     if n_v == 0:
         return (np.empty((0, 3, 3), np.float32), vertices,

@@ -214,7 +214,9 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
     host-orchestrated loop otherwise; "host"/"device" force a choice.
     """
     if engine == "auto":
-        engine = "device"
+        from tropical.extract.device import device_engine_supports
+
+        engine = "device" if device_engine_supports(net) else "host"
     if engine == "device":
         from tropical.extract.device import subpoly_device
 

@@ -109,59 +109,94 @@ def _pad_tris(tri: np.ndarray, chunk: int) -> np.ndarray:
     return np.concatenate([tri, pad], axis=0)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _min_dist2_scan(points, tris, chunk=TRI_CHUNK):
+# point/ray tiles: [P_BLOCK, TRI_CHUNK] pair tiles bound the fused
+# intermediates to ~64 MB so the whole working set pipelines through VMEM/HBM
+# instead of materializing [100k, T] arrays (multi-GB at eval sizes)
+P_BLOCK = 8192
+
+
+def _pblock(n: int) -> int:
+    return min(P_BLOCK, n)
+
+
+@partial(jax.jit, static_argnames=("chunk", "pblock"))
+def _min_dist2_scan(points, tris, chunk=TRI_CHUNK, pblock=P_BLOCK):
     n_chunks = tris.shape[0] // chunk
     tri_chunks = tris.reshape(n_chunks, chunk, 3, 3)
-    p = points[:, None, :]
+    pb = points.reshape(points.shape[0] // pblock, pblock, 3)
 
-    def body(carry, tc):
-        d2 = _closest_dist2(p, tc[None, :, 0], tc[None, :, 1], tc[None, :, 2])
-        return jnp.minimum(carry, d2.min(-1)), None
+    def outer(_, p):
+        p = p[:, None, :]
 
-    init = jnp.full((points.shape[0],), jnp.inf, points.dtype)
-    out, _ = jax.lax.scan(body, init, tri_chunks)
-    return out
+        def body(carry, tc):
+            d2 = _closest_dist2(p, tc[None, :, 0], tc[None, :, 1],
+                                tc[None, :, 2])
+            return jnp.minimum(carry, d2.min(-1)), None
+
+        init = jnp.full((pblock,), jnp.inf, points.dtype)
+        out, _ = jax.lax.scan(body, init, tri_chunks)
+        return None, out
+
+    _, out = jax.lax.scan(outer, None, pb)
+    return out.reshape(points.shape[0])
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _parity_scan(points, dirs, tris, chunk=TRI_CHUNK):
+@partial(jax.jit, static_argnames=("chunk", "pblock"))
+def _parity_scan(points, dirs, tris, chunk=TRI_CHUNK, pblock=P_BLOCK):
     n_chunks = tris.shape[0] // chunk
     tri_chunks = tris.reshape(n_chunks, chunk, 3, 3)
-    o = points[:, None, :]
-    d = dirs[:, None, :]
+    pb = points.reshape(points.shape[0] // pblock, pblock, 3)
+    db = dirs.reshape(dirs.shape[0] // pblock, pblock, 3)
 
-    def body(carry, tc):
-        t = _ray_tri_t(o, d, tc[None, :, 0], tc[None, :, 1], tc[None, :, 2])
-        return carry + jnp.isfinite(t).sum(-1), None
+    def outer(_, od):
+        o, d = od
+        o = o[:, None, :]
+        d = d[:, None, :]
 
-    init = jnp.zeros((points.shape[0],), jnp.int32)
-    out, _ = jax.lax.scan(body, init, tri_chunks)
-    return out
+        def body(carry, tc):
+            t = _ray_tri_t(o, d, tc[None, :, 0], tc[None, :, 1],
+                           tc[None, :, 2])
+            return carry + jnp.isfinite(t).sum(-1), None
+
+        init = jnp.zeros((pblock,), jnp.int32)
+        out, _ = jax.lax.scan(body, init, tri_chunks)
+        return None, out
+
+    _, out = jax.lax.scan(outer, None, (pb, db))
+    return out.reshape(points.shape[0])
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _ray_trace_scan(rays_o, rays_d, tris, chunk=TRI_CHUNK):
+@partial(jax.jit, static_argnames=("chunk", "pblock"))
+def _ray_trace_scan(rays_o, rays_d, tris, chunk=TRI_CHUNK, pblock=P_BLOCK):
     n_chunks = tris.shape[0] // chunk
     tri_chunks = tris.reshape(n_chunks, chunk, 3, 3)
-    o = rays_o[:, None, :]
-    d = rays_d[:, None, :]
-
-    def body(carry, xs):
-        best_t, best_id = carry
-        tc, base = xs
-        t = _ray_tri_t(o, d, tc[None, :, 0], tc[None, :, 1], tc[None, :, 2])
-        tmin = t.min(-1)
-        amin = t.argmin(-1).astype(jnp.int32) + base
-        better = tmin < best_t
-        return (jnp.where(better, tmin, best_t),
-                jnp.where(better, amin, best_id)), None
-
-    init = (jnp.full((rays_o.shape[0],), jnp.inf, rays_o.dtype),
-            jnp.full((rays_o.shape[0],), -1, jnp.int32))
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (t, fid), _ = jax.lax.scan(body, init, (tri_chunks, bases))
-    return t, fid
+    ob = rays_o.reshape(rays_o.shape[0] // pblock, pblock, 3)
+    db = rays_d.reshape(rays_d.shape[0] // pblock, pblock, 3)
+
+    def outer(_, od):
+        o, d = od
+        o = o[:, None, :]
+        d = d[:, None, :]
+
+        def body(carry, xs):
+            best_t, best_id = carry
+            tc, base = xs
+            t = _ray_tri_t(o, d, tc[None, :, 0], tc[None, :, 1],
+                           tc[None, :, 2])
+            tmin = t.min(-1)
+            amin = t.argmin(-1).astype(jnp.int32) + base
+            better = tmin < best_t
+            return (jnp.where(better, tmin, best_t),
+                    jnp.where(better, amin, best_id)), None
+
+        init = (jnp.full((pblock,), jnp.inf, rays_o.dtype),
+                jnp.full((pblock,), -1, jnp.int32))
+        (t, fid), _ = jax.lax.scan(body, init, (tri_chunks, bases))
+        return None, (t, fid)
+
+    _, (t, fid) = jax.lax.scan(outer, None, (ob, db))
+    return t.reshape(rays_o.shape[0]), fid.reshape(rays_o.shape[0])
 
 
 class MeshQuery:
@@ -180,7 +215,8 @@ class MeshQuery:
         from tropical.core.buffers import padded_apply
 
         p = jnp.asarray(np.asarray(points, np.float32))
-        d2 = padded_apply(lambda pp: _min_dist2_scan(pp, self._tris, self.chunk), p)
+        d2 = padded_apply(lambda pp: _min_dist2_scan(
+            pp, self._tris, self.chunk, _pblock(pp.shape[0])), p)
         return np.sqrt(np.asarray(d2))
 
     def signed_distance(self, points: np.ndarray) -> np.ndarray:
@@ -196,7 +232,8 @@ class MeshQuery:
             np.asarray([0.5320963, 0.6418563, 0.55234/0.9], np.float32), p.shape)
         dirs = dirs / np.linalg.norm(dirs[0])
         hits = padded_apply(
-            lambda pp, dd: _parity_scan(pp, dd, self._tris, self.chunk),
+            lambda pp, dd: _parity_scan(pp, dd, self._tris, self.chunk,
+                                        _pblock(pp.shape[0])),
             jnp.asarray(p), jnp.asarray(dirs.copy()))
         inside = (np.asarray(hits) % 2) == 1
         return np.where(inside, dist, -dist)
@@ -208,7 +245,8 @@ class MeshQuery:
         o = jnp.asarray(np.asarray(rays_o, np.float32))
         d = jnp.asarray(np.asarray(rays_d, np.float32))
         t, fid = padded_apply(
-            lambda oo, dd: _ray_trace_scan(oo, dd, self._tris, self.chunk), o, d)
+            lambda oo, dd: _ray_trace_scan(oo, dd, self._tris, self.chunk,
+                                           _pblock(oo.shape[0])), o, d)
         t = np.asarray(t)
         fid = np.asarray(fid)
         fid = np.where(fid >= self.n_tris, -1, fid)  # hits on padding

@@ -30,7 +30,16 @@ def make_mesh(n_devices: int | None = None, shape: Sequence[int] | None = None,
               names: Sequence[str] = ("dp", "mp")) -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh: requested {n} devices but only {len(devices)} "
+            f"available ({[d.platform for d in devices]}); for a virtual "
+            "CPU mesh set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n} and JAX_PLATFORMS=cpu before jax initializes a backend")
     devices = devices[:n]
+    if shape is not None and int(np.prod(shape)) != n:
+        raise ValueError(f"make_mesh: shape {tuple(shape)} does not tile "
+                         f"{n} devices")
     if shape is None:
         # widest dp axis that divides n; mp gets the rest
         mp = 1
@@ -85,14 +94,22 @@ def sharded_train_step(spec, tx, batch_size: int, mesh: Mesh):
     repl = NamedSharding(mesh, P())
 
     @partial(jax.jit,
-             in_shardings=(None, None, batch_sh, batch_sh),
+             in_shardings=(None, None, batch_sh, batch_sh, None),
              out_shardings=(None, None, repl, repl))
-    def step(params, opt_state, x, y):
+    def _step(params, opt_state, x, y, n_valid):
         (total, l1), grads = jax.value_and_grad(
-            partial(loss_fn, spec), has_aux=True)(params, x, y, batch_size)
+            partial(loss_fn, spec), has_aux=True)(
+                params, x, y, batch_size, n_valid)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, total, l1
+
+    def step(params, opt_state, x, y, n_valid=None):
+        # shard_batch zero-pads x/y to a dp multiple; mask padding out of the
+        # loss so a ragged batch gives the same gradients as unsharded
+        if n_valid is None:
+            n_valid = x.shape[0]
+        return _step(params, opt_state, x, y, jnp.int32(n_valid))
 
     return step
 
@@ -108,6 +125,10 @@ def sharded_apply(fn, mesh: Mesh):
     jitted = jax.jit(fn, in_shardings=(None, batch_sh))
 
     def apply(params, x):
-        return jitted(params, shard_batch(x, mesh))
+        n = x.shape[0]
+        y = jitted(params, shard_batch(x, mesh))
+        # shard_batch pads the leading axis to a dp multiple; drop the
+        # phantom rows so callers see exactly len(x) results
+        return y[:n]
 
     return apply

@@ -1,9 +1,10 @@
 """Standalone evaluation of a cached SDF + extracted mesh.
 
 CLI-compatible port of reference tropical/stanford/evaluate.py (flags
--d/-s/-m/-t).  Both grid baselines run marching tetrahedra here (the
-reference's ``-t mc`` uses pymcubes, which does not ship in this image; MT
-pseudo-GT vertices sit on the same interpolated zero crossings).
+-d/-s/-m/-t).  ``-t mc`` runs true marching cubes
+(:mod:`tropical.utils.marching_cubes`); ``-t mtet`` runs marching
+tetrahedra, with the pseudo-GT resolution still computed by MC exactly as
+the reference does (evaluate.py:253-256).
 
     python -m tropical.stanford.evaluate -d sphere -m small -s 1
 """
@@ -95,7 +96,7 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     evaluate_against_grid_gt(net, our_mesh, -1.0, TRAINING_DATA_R, gt_res,
                              out_dir, f"{args.model_size}_{seed}",
-                             resolutions=resolutions)
+                             resolutions=resolutions, method=args.method)
     return 0
 
 

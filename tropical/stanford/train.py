@@ -72,12 +72,18 @@ def extract_mesh(net, force: bool):
 
 
 def evaluate_against_grid_gt(net, our_mesh, our_t, dataset_R, gt_res,
-                             out_dir, tag, resolutions=None):
+                             out_dir, tag, resolutions=None, method="mc"):
     """CD/AD of the extracted mesh vs grid pseudo-GT at several resolutions,
-    printed in the reference table format (train.py:325-355)."""
+    printed in the reference table format (train.py:325-355).
+
+    The pseudo-GT (res == gt_res) is ALWAYS marching cubes, matching the
+    reference's protocol (train.py:276-293; evaluate.py runs MC for the GT
+    resolution even under ``-t mtet``, evaluate.py:253-256); ``method``
+    selects the baseline family for the other resolutions."""
     from tropical.utils.chamfer import (angular_distance, chamfer_distance,
                                         get_rays, sample_surface_from_rays)
     from tropical.utils.isosurface import run_marching_tetrahedra
+    from tropical.utils.marching_cubes import run_marching_cubes
 
     rays_o, rays_d = get_rays(100000)
     our_samples, our_normals, our_mask = sample_surface_from_rays(
@@ -89,11 +95,14 @@ def evaluate_against_grid_gt(net, our_mesh, our_t, dataset_R, gt_res,
                        if i == 0 or r < gt_res]
 
     gt_samples = gt_normals = gt_mask = None
-    print("Marching Tetrahedra Results:")
+    print(f"Marching {'Cubes' if method == 'mc' else 'Tetrahedra'} Results:")
     print("#samples, #vertices, CD, AD, time")
     for i in resolutions:
         t = time.time()
-        mc_mesh = run_marching_tetrahedra(net, i, CANVAS_SIZE, R=dataset_R)
+        if method == "mc" or i == gt_res:
+            mc_mesh = run_marching_cubes(net, i, CANVAS_SIZE, R=dataset_R)
+        else:
+            mc_mesh = run_marching_tetrahedra(net, i, CANVAS_SIZE, R=dataset_R)
         t = time.time() - t
         try:
             mc_samples, mc_normals, mc_mask = sample_surface_from_rays(
@@ -114,7 +123,7 @@ def evaluate_against_grid_gt(net, our_mesh, our_t, dataset_R, gt_res,
         mc_ad, _ = angular_distance(mc_normals[common], gt_normals[common])
         print(f"{i:4d}, {mc_mesh.vertices.shape[0]:5d}, {mc_cd:0.6f}, "
               f"{mc_ad:4.1f}, {t:.2f}")
-        mc_mesh.export(os.path.join(out_dir, f"mt{i:03d}_{tag}.ply"))
+        mc_mesh.export(os.path.join(out_dir, f"{method}{i:03d}_mesh_{tag}.ply"))
     print()
 
 

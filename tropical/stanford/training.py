@@ -23,14 +23,24 @@ EIKONAL_W = 1e-2
 WEIGHT_NORM_W = 1e-1
 
 
-def loss_fn(spec: NetSpec, params, x, y, batch_size: int):
+def loss_fn(spec: NetSpec, params, x, y, batch_size: int, n_valid=None):
+    """``n_valid`` masks zero-padded rows out of the loss (the sharded path
+    pads the batch to a dp multiple; padding must not perturb the loss)."""
     pred = net_sdf(spec, params, x)[:, 0]
     pred_c = jnp.clip(pred, -CLAMP, CLAMP)
     gt = jnp.clip(y, -CLAMP, CLAMP)
-    l1 = jnp.abs(pred_c - gt).mean()
+    err = jnp.abs(pred_c - gt)
+    if n_valid is None:
+        l1 = err.mean()
+        valid = None
+    else:
+        valid = jnp.arange(x.shape[0]) < n_valid
+        l1 = jnp.where(valid, err, 0.0).sum() / n_valid
 
     # eikonal on the global batch-Jacobian Frobenius norm (train.py:193-197)
     J = jax.grad(lambda pts: net_sdf(spec, params, pts).sum())(x)
+    if valid is not None:
+        J = J * valid[:, None].astype(J.dtype)
     eik = EIKONAL_W * (jnp.linalg.norm(J) - 1.0) ** 2 / batch_size
 
     # per-neuron (output-unit) weight rows at unit norm (train.py:199-201);

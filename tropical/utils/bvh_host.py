@@ -18,11 +18,24 @@ _LIB_PATH = os.path.join(_CSRC, "libtropical.so")
 _lib = None
 
 
+def _stale() -> bool:
+    """True when the .so is absent or older than any C++ source — a stale
+    binary must never shadow an edited bvh.cpp."""
+    if not os.path.isfile(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for name in os.listdir(_CSRC):
+        if name.endswith((".cpp", ".h", ".hpp")) and \
+                os.path.getmtime(os.path.join(_CSRC, name)) > lib_mtime:
+            return True
+    return False
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.isfile(_LIB_PATH):
+    if _stale():
         subprocess.run(["make", "-C", _CSRC], check=True,
                        capture_output=True, text=True)
     lib = ctypes.CDLL(_LIB_PATH)

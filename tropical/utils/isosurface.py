@@ -1,11 +1,11 @@
 """Isosurface extraction baselines: marching tetrahedra on a 6-tet cube lattice.
 
-The evaluation protocol needs a grid-sampled pseudo-ground-truth mesh
-(reference train.py:276-293 uses ``pymcubes``; evaluate.py:141-194 adds a
-marching-tetrahedra variant on a per-cube tetrahedral decomposition).  Neither
-C extension ships in this image, so the baseline here is marching tetrahedra:
-its vertices also sit exactly on the zero crossing of the linearly
-interpolated field, which is the property the pseudo-GT relies on.
+The evaluation protocol compares against grid-sampled baselines (reference
+evaluate.py:141-194 runs a marching-tetrahedra variant on a per-cube
+tetrahedral decomposition; true marching cubes lives in
+:mod:`tropical.utils.marching_cubes` and provides the pseudo-GT).  MT
+vertices sit exactly on the zero crossing of the linearly interpolated
+field, the same property the MC pseudo-GT relies on.
 
 The sign-case tables are derived programmatically from the 16 corner-sign
 patterns instead of hard-coding the kaolin tables (reference utils/mtet.py:7-46
