@@ -50,6 +50,7 @@ D = 3
 
 OVF_V, OVF_E, OVF_C, OVF_P, OVF_K, OVF_W, OVF_H = 1, 2, 4, 8, 16, 32, 64
 OVF_X = 128  # invariant violation: a curved edge lies on no earlier plane
+OVF_B = 256  # tier-B (high-zero-count) expansion side buffer overflow
 
 
 @dataclass(frozen=True)
@@ -64,6 +65,9 @@ class Caps:
     #                      planes, so 4-5 zeros occur routinely)
     wcap: int = 32       # max candidate vertices per region (pair window)
     conncap: int = 65536  # per-step connecting-edge append block
+    hb: int = 0          # tier-B expansion rows (0 = auto); each row costs
+    #                      2^kcap replica lanes in the pair window, so a
+    #                      tight cap (from the hw marks) matters
 
 
 class State(NamedTuple):
@@ -75,8 +79,9 @@ class State(NamedTuple):
     nV: jax.Array       # i32 creation cursor
     nE: jax.Array       # i32 creation cursor
     overflow: jax.Array  # i32 bitmask of OVF_* flags
-    hw: jax.Array       # [6] i32 high-water marks: splits, hits, pairs,
-    #                     conns, nV, nE — lets the host re-derive tight caps
+    hw: jax.Array       # [7] i32 high-water marks: splits, hits, pairs,
+    #                     conns, nV, nE, tierB — lets the host re-derive
+    #                     tight caps
 
 
 def _eps_sign(out, eps):
@@ -94,15 +99,28 @@ def _grid_region(marks, xu, eps):
 
 
 def _compact_lanes(mask, K: int):
-    """Indices of the first K live lanes, without sorts or scatters.
+    """Indices of the first K live lanes, in order.
+
+    Implemented as a single-key sort of (live ? lane : N): XLA's TPU sort
+    moves live lanes to an ordered prefix at ~1.4 ns/element, ~5x cheaper
+    per element than the log2(N) binary-search gathers of the previous
+    cumsum+searchsorted formulation (measured: the searchsorted whiles were
+    ~75%% of the busy-step cost; sorts were noise).
 
     Returns (lanes [K] i32 — zeroed where invalid, valid [K] bool, total).
     """
-    cs = jnp.cumsum(mask.astype(jnp.int32))
-    total = cs[-1]
-    lanes = jnp.searchsorted(cs, jnp.arange(1, K + 1, dtype=jnp.int32))
+    n = mask.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(mask, idx, jnp.int32(n))
+    skey = jax.lax.sort(key)
+    if K <= n:
+        lanes = jax.lax.slice(skey, (0,), (K,))
+    else:
+        lanes = jnp.concatenate(
+            [skey, jnp.full((K - n,), n, jnp.int32)])
+    total = mask.sum().astype(jnp.int32)
     valid = jnp.arange(K, dtype=jnp.int32) < total
-    return jnp.where(valid, lanes, 0).astype(jnp.int32), valid, total
+    return jnp.where(valid, lanes, 0), valid, total
 
 
 def _pack_base3(signs, col_active):
@@ -443,9 +461,9 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         kA1, kA2, kA3, rA = _keys(allcols, zrank, cand_o,
                                   all_valid & ~tierB, kz, 4, 2, cand_rows)
 
-        HB = max(HCAP, CCAP // 8)
+        HB = caps.hb or max(HCAP, CCAP // 8)
         blanes, bval, n_b = _compact_lanes(tierB, HB)
-        ovf = ovf | jnp.where(n_b > HB, OVF_K, 0)
+        ovf = ovf | jnp.where(n_b > HB, OVF_B, 0)
         kB1, kB2, kB3, rB = _keys(allcols[blanes], zrank[blanes],
                                   cand_o[blanes], bval, kz[blanes],
                                   PREP, KCAP, blanes)
@@ -541,7 +559,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         nE3 = nE2 + n_conn
 
         hw = jnp.maximum(hw, jnp.stack([
-            n_split, n_hit, n_pairs, n_conn, nV2, nE3]))
+            n_split, n_hit, n_pairs, n_conn, nV2, nE3, n_b]))
         state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw)
         if prune and "prune" not in disable:
             state = _prune(state, idx, eps)
@@ -592,7 +610,8 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
     def extract(params, marks, V0, OUT0, E0, nV0, nE0):
         aliveV0 = jnp.arange(VCAP, dtype=jnp.int32) < nV0
         aliveE0 = jnp.arange(ECAP, dtype=jnp.int32) < nE0
-        hw0 = jnp.stack([jnp.int32(0)] * 4 + [jnp.int32(nV0), jnp.int32(nE0)])
+        hw0 = jnp.stack([jnp.int32(0)] * 4
+                        + [jnp.int32(nV0), jnp.int32(nE0), jnp.int32(0)])
         state = State(V0, OUT0, E0, aliveV0, aliveE0, nV0, nE0,
                       jnp.int32(0), hw0)
 
@@ -836,7 +855,8 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             # memoize *tight* caps from the run's high-water marks rather
             # than whatever the overflow-retry ramp landed on — every padded
             # lane costs real work each step
-            hws, hwh, hwp, hwc, hwv, hwe = (int(x) for x in np.asarray(hw))
+            hws, hwh, hwp, hwc, hwv, hwe, hwb = (
+                int(x) for x in np.asarray(hw))
             ccap_t = _round_up(int(hws * 1.15), 4096)
             conncap_t = _round_up(int(hwc * 1.15) + 4096)
             _GOOD_CAPS[size_key] = Caps(
@@ -848,7 +868,9 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 hcap=_round_up(int(hwh * 1.3) + 512, 2048),
                 pcap=_round_up(int(hwp * 1.15) + 4096),
                 kcap=caps.kcap, wcap=caps.wcap,
-                conncap=conncap_t)
+                conncap=conncap_t,
+                # each tier-B row costs 2^kcap pair-window lanes: keep tight
+                hb=_round_up(int(hwb * 1.3) + 128, 256))
             _evict_stale_programs()
             break
         # root-cause retry: once a capacity buffer overflows, the dynamics
@@ -875,7 +897,9 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             caps = dataclasses.replace(
                 caps,
                 kcap=caps.kcap + (1 if ovf & OVF_K else 0),
-                wcap=caps.wcap * (2 if ovf & OVF_W else 1))
+                wcap=caps.wcap * (2 if ovf & OVF_W else 1),
+                hb=(caps.hb or max(caps.hcap, caps.ccap // 8))
+                * (2 if ovf & OVF_B else 1))
         if verbose:
             print(f"[device-extract] overflow mask {ovf}; retrying with {caps}")
     else:
