@@ -44,6 +44,7 @@ import numpy as np
 
 from tropical.core.net import NetSpec, net_outputs, preprocess
 from tropical.core.trilinear import intersection_of_two_planes
+from tropical.extract import stats
 
 R_COLS = 33  # (num_layers-1)*num_hidden + 1 for the 3x16 architecture
 D = 3
@@ -917,10 +918,13 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
               f"{vertices.shape[0]}/{edges.shape[0]}", end=", ")
 
     if n_v == 0:
+        stats.record(int(nV_pre), int(nE_pre), 0, 0, 0)
         return (np.empty((0, 3, 3), np.float32), vertices,
                 np.empty((0, 3), np.int64))
 
     faces, tris = extract_faces(vertices, edges, net, outputs, eps)
     if verbose:
         print(f"{len(faces)} faces", end=", ")
+    stats.record(int(nV_pre), int(nE_pre), vertices.shape[0], edges.shape[0],
+                 len(faces))
     return faces, vertices, tris

@@ -21,6 +21,7 @@ import numpy as np
 
 from tropical.core import regions as rg
 from tropical.extract import failover as fo
+from tropical.extract import stats
 from tropical.extract.faces import extract_faces, extract_skeleton
 from tropical.extract.skeleton import get_hypercube, grid_skeleton
 from tropical.utils.profiling import Phases
@@ -240,15 +241,16 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
         vertices, edges, net, net.num_layers - 2, net.num_hidden, eps, outputs,
         force=force)
 
+    pre_v, pre_e = vertices.shape[0], edges.shape[0]
     if verbose:
         print()
-        print(f"# of vertices and edges = "
-              f"{vertices.shape[0]}/{edges.shape[0]} => ", end="")
+        print(f"# of vertices and edges = {pre_v}/{pre_e} => ", end="")
 
     vertices, edges, v_idx = extract_skeleton(vertices, edges, outputs, net, eps)
     if vertices.shape[0] == 0:
         if verbose:
             print("0/0, 0 faces", end=", ")
+        stats.record(pre_v, pre_e, 0, 0, 0)
         return (np.empty((0, 3, 3), np.float32), vertices,
                 np.empty((0, 3), np.int64))
     outputs = outputs[v_idx]
@@ -262,5 +264,6 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
     if verbose:
         print(f"{len(faces)} faces", end=", ")
     PHASES.report()
+    stats.record(pre_v, pre_e, vertices.shape[0], edges.shape[0], len(faces))
 
     return faces, vertices, tris
