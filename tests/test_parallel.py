@@ -100,3 +100,19 @@ def test_sharded_train_step_matches_single_device(params, batch):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(pn)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sharded_extraction_parity(trained_net):
+    """dp=8 extraction == single-device extraction, bit-identical: the mesh
+    only changes placement of the per-step forwards, not the math
+    (subpoly(mesh=...) path; VERDICT round-1 item 6)."""
+    from tropical.extract.subdivide import subpoly
+
+    mesh = make_mesh(8)
+    _, v1, t1 = subpoly(trained_net, 3, 1.2, force=True, verbose=False,
+                        engine="host")
+    _, vn, tn = subpoly(trained_net, 3, 1.2, force=True, verbose=False,
+                        mesh=mesh)
+    assert v1.shape == vn.shape and t1.shape == tn.shape
+    np.testing.assert_array_equal(v1, vn)
+    np.testing.assert_array_equal(t1, tn)

@@ -137,33 +137,64 @@ def net_normal(spec: NetSpec, params, x, idx: int | None = None):
 class TropicalNet:
     """Stateful convenience wrapper bundling spec + params + jitted methods."""
 
-    def __init__(self, spec: NetSpec, params=None, key: jax.Array | None = None):
+    def __init__(self, spec: NetSpec, params=None, key: jax.Array | None = None,
+                 mesh=None):
         self.spec = spec
         if params is None:
             key = key if key is not None else jax.random.PRNGKey(0)
             params = init_net_params(spec, key)
+        self.mesh = mesh
+        if mesh is not None:
+            # replicate params over the mesh (the table is <=16 MB; collective
+            # per-lookup gathers from an mp-sharded table would dominate)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            params = jax.device_put(params, NamedSharding(mesh,
+                                                          PartitionSpec()))
         self.params = params
         self.enc = TropicalHashGrid(spec.grid, params["table"])
         self.marks = self.enc.marks
 
+        if mesh is None:
+            xsh = None
+        else:
+            # the point/edge axis shards over every mesh axis (dp and mp alike
+            # — extraction forwards are embarrassingly parallel per row, so
+            # all chips serve the batch dimension)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            xsh = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+
+        def _jit(fn, n_lead: int = 1, **kw):
+            """jit with the last array arg sharded over the mesh batch axis."""
+            if xsh is None:
+                return jax.jit(fn, **kw)
+            return jax.jit(fn, in_shardings=(None,) * n_lead + (xsh,), **kw)
+
         s = spec
-        self._fwd_gather = jax.jit(
-            lambda p, x: net_forward(s, p, x, gather=True), static_argnums=())
-        self._fwd_gather_g8 = jax.jit(
+        self._fwd_gather = _jit(
+            lambda p, x: net_forward(s, p, x, gather=True))
+        self._fwd_gather_g8 = _jit(
             lambda p, x: net_forward(s, p, x, gather=True, group=8))
-        self._sdf = jax.jit(lambda p, x: net_sdf(s, p, x))
-        self._region = jax.jit(
+        self._sdf = _jit(lambda p, x: net_sdf(s, p, x))
+        self._region = _jit(
             lambda p, mk, x, eps: net_region(s, p, mk, x, eps=eps),
-            static_argnums=(3,))
+            n_lead=2, static_argnums=(3,))
         self._region_from_out = jax.jit(
             lambda p, mk, x, out, eps: net_region(s, p, mk, x, output=out, eps=eps),
             static_argnums=(4,))
-        self._normal = jax.jit(
-            lambda p, x, idx=None: net_normal(s, p, x, idx),
-            static_argnames=("idx",))
-        self._sdf_and_grad = jax.jit(
+        self._normal = _jit(
+            lambda p, x, idx: net_normal(s, p, x, idx),
+            static_argnums=(2,))
+        self._sdf_and_grad = _jit(
             lambda p, x: (net_sdf(s, p, x),
                           jax.grad(lambda q: net_sdf(s, p, q).sum())(x)))
+
+    def sharded(self, mesh) -> "TropicalNet":
+        """A view of this net whose batched forwards shard their point axis
+        over ``mesh`` (multi-chip extraction fan-out; the reference is
+        single-device, SURVEY §5.8 — this is the additive sharding plan)."""
+        return TropicalNet(self.spec, params=self.params, mesh=mesh)
 
     # --- reference-API surface -------------------------------------------
     @property
@@ -216,7 +247,7 @@ class TropicalNet:
             idx = None
         else:
             idx = l * self.num_hidden + h
-        return padded_apply(partial(self._normal, self.params, idx=idx), x)
+        return padded_apply(lambda xx: self._normal(self.params, xx, idx), x)
 
     def check_orthogonality(self):
         """Print per-layer row-orthogonality diagnostics (model.py:125-132)."""

@@ -204,7 +204,7 @@ def subpoly_(vertices: np.ndarray, edges: np.ndarray, net, l: int, h: int,
 
 
 def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
-            verbose: bool = True, engine: str = "auto"
+            verbose: bool = True, engine: str = "auto", mesh=None
             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full subdivision-polygons extraction (reference subpoly.py:23-86).
 
@@ -213,7 +213,16 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
     engine: "auto" uses the fused on-device loop (tropical/extract/device.py)
     for the flat/force path — one XLA dispatch for all 33 insertions — and the
     host-orchestrated loop otherwise; "host"/"device" force a choice.
+
+    mesh: a jax.sharding.Mesh fans every batched forward (candidate/corner
+    evaluations — the dominant FLOPs of each insertion step) out over all its
+    devices; results are bit-identical to single-device (the per-row math is
+    unchanged, only placement differs).  Implies the host engine: the fused
+    single-dispatch engine is single-chip.
     """
+    if mesh is not None:
+        net = net.sharded(mesh)
+        engine = "host"
     if engine == "auto":
         from tropical.extract.device import device_engine_supports
 
