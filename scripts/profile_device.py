@@ -27,8 +27,32 @@ def force(x):
 
 sys.path.insert(0, ".")
 
-from tropical.extract.device import (Caps, _GOOD_CAPS, make_extract_fn,
-                                     make_skeleton_fn, subpoly_device)
+from tropical.extract.device import (Caps, _GOOD_CAPS, _SKEL_CAPS,
+                                     default_skel_caps, make_extract_fn,
+                                     make_skeleton_fn, make_slab_skeleton_fn,
+                                     subpoly_device)
+
+
+def build_pools(net, caps, eps=1e-4):
+    """Run the device skeleton and pad its buffers into loop-caps pools
+    (mirrors subpoly_device's wiring)."""
+    import jax.numpy as jnp
+
+    M = int(net.marks.shape[0])
+    skel_caps = _SKEL_CAPS.get((net.spec, M, eps)) or default_skel_caps(M)
+    mk = make_skeleton_fn if M <= 128 else make_slab_skeleton_fn
+    skel = mk(net.spec, skel_caps, M, eps)
+    Vs, Os, Es, nV0, nE0, _ = skel(net.params, net.marks)
+
+    def pad(a, n):
+        if a.shape[0] >= n:
+            return a[:n]
+        return jnp.concatenate(
+            [a, jnp.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)])
+
+    Vp, Op, Ep = jax.jit(lambda v, o, e: (
+        pad(v, caps.vcap), pad(o, caps.vcap), pad(e, caps.ecap)))(Vs, Os, Es)
+    return skel, (Vp, Op, Ep, np.int32(nV0), np.int32(nE0))
 from tropical.stanford.model import Net
 from tropical.utils import checkpoint as ckpt
 
@@ -63,9 +87,8 @@ def main():
     caps = _GOOD_CAPS[size_key]
     print("caps:", caps)
 
-    skel = make_skeleton_fn(net.spec, caps, M, 1e-4)
-    Vp, Op, Ep, nV0, nE0, _ = skel(net.params, net.marks)
-    force(nE0)
+    skel, (Vp, Op, Ep, nV0, nE0) = build_pools(net, caps)
+    force(Ep)
 
     variants = [
         ("full", frozenset()),

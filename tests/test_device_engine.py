@@ -86,3 +86,26 @@ def test_device_end_to_end(trained_net):
     assert vertices2.shape == vertices.shape
     assert tris2.shape == tris.shape
     np.testing.assert_allclose(vertices2, vertices, atol=1e-4)
+
+
+def test_slab_skeleton_matches_single_block(trained_net):
+    """The slab-chunked skeleton (large lattices, M>128) must produce
+    bit-identical buffers to the single-block variant: same compaction
+    order, outputs recomputed per vertex instead of gathered."""
+    from tropical.extract.device import (default_skel_caps, make_skeleton_fn,
+                                         make_slab_skeleton_fn)
+
+    net = trained_net
+    M = int(net.marks.shape[0])
+    sc = default_skel_caps(M)
+    Vs, Os, Es, nVs, nEs, ovs = make_skeleton_fn(
+        net.spec, sc, M, 1e-4)(net.params, net.marks)
+    Vb, Ob, Eb, nVb, nEb, ovb = make_slab_skeleton_fn(
+        net.spec, sc, M, 1e-4, slab=16)(net.params, net.marks)
+    assert int(ovs) == 0 and int(ovb) == 0
+    assert int(nVs) == int(nVb) and int(nEs) == int(nEb)
+    n_v, n_e = int(nVs), int(nEs)
+    np.testing.assert_array_equal(np.asarray(Es[:n_e]), np.asarray(Eb[:n_e]))
+    np.testing.assert_array_equal(np.asarray(Vs[:n_v]), np.asarray(Vb[:n_v]))
+    np.testing.assert_allclose(np.asarray(Os[:n_v]), np.asarray(Ob[:n_v]),
+                               atol=1e-5)

@@ -490,34 +490,50 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                 state = _prune(state, idx, eps)
             return state
 
-        # --- 10. same-region pairs from a sorted-run window --------------------
+        # --- 10. same-region pairs by prefix-sum slot assignment ---------------
+        # Every region is a contiguous run after the sort; a replica at
+        # in-run rank r pairs with its min(r, WCAP) closest predecessors
+        # (identical pair set to the old WCAP-shifted window, reference
+        # subpoly.py:505-513; truncation beyond WCAP is flagged the same).
+        # Pair slots come from a prefix sum over per-replica pair counts and
+        # each slot GATHERS its two replicas — O(PCAP) work instead of the
+        # old O(WCAP*N) materialized window + compaction sort (a 21M-lane
+        # sort per busy step at medium caps, the engine's biggest single op).
         svalid = sk1 < big
-        pa, pb, pok = [], [], []
-        for o in range(1, WCAP + 1):
-            same = (sk1[o:] == sk1[:-o]) & (sk2[o:] == sk2[:-o]) \
-                & (sk3[o:] == sk3[:-o]) & svalid[o:]
-            pa.append(jnp.pad(srow[o:], (0, o)))
-            pb.append(jnp.pad(srow[:-o], (0, o)))
-            pok.append(jnp.pad(same, (0, o)))
-        pa = jnp.concatenate(pa)
-        pb = jnp.concatenate(pb)
-        pok = jnp.concatenate(pok)
-        if WCAP < sk1.shape[0]:
-            long_run = (sk1[WCAP:] == sk1[:-WCAP]) & (sk2[WCAP:] == sk2[:-WCAP]) \
-                & (sk3[WCAP:] == sk3[:-WCAP]) & svalid[WCAP:]
-            ovf = ovf | jnp.where(long_run.any(), OVF_W, 0)
+        nrep_sz = sk1.shape[0]
+        irep = jnp.arange(nrep_sz, dtype=jnp.int32)
+        newrun = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])
+            | (sk3[1:] != sk3[:-1])])
+        run_start = jax.lax.cummax(jnp.where(newrun, irep, 0))
+        rank = irep - run_start
+        ovf = ovf | jnp.where((svalid & (rank >= WCAP)).any(), OVF_W, 0)
+        r = jnp.where(svalid, jnp.minimum(rank, WCAP), 0)
+        cum = jnp.cumsum(r)
+        n_pairs = cum[-1]
+        ovf = ovf | jnp.where(n_pairs > PCAP, OVF_P, 0)
 
-        if "paircompact" in disable:  # profiling cut: windows only
-            ovf = ovf | (pok.any() * 0) | (pa.max() * 0) | (pb.max() * 0)
+        if "paircompact" in disable:  # profiling cut: stop after pair counts
+            ovf = ovf | (cum.max() * 0) | (rank.max() * 0)
             state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
 
-        plane_lanes, p_valid, n_pairs = _compact_lanes(pok, PCAP)
-        ovf = ovf | jnp.where(n_pairs > PCAP, OVF_P, 0)
-        cpa = pa[plane_lanes]
-        cpb = pb[plane_lanes]
+        # slot -> owning replica: each pair-owning replica writes its index
+        # at its first slot (cum[i]-r[i]; block starts are unique), then a
+        # running max fills each block.  Replica 0 never owns pairs, so the
+        # zero-init never collides with a real index.
+        starts = jnp.where(r > 0, cum - r, PCAP)
+        marker = jnp.zeros(PCAP, jnp.int32).at[starts].max(
+            irep, mode="drop", unique_indices=True)
+        si = jax.lax.cummax(marker)
+        slot = jnp.arange(PCAP, dtype=jnp.int32)
+        p_valid = slot < n_pairs
+        off = slot - (cum[si] - r[si]) + 1
+        cpa = srow[si]
+        cpb = srow[jnp.clip(si - off, 0, nrep_sz - 1)]
 
         # --- 11. shared-plane filter (subpoly.py:524-533), on packed words -----
         zs_ab = zs[cpa] & zs[cpb]
@@ -670,16 +686,75 @@ def _round_up(n: int, m: int = 8192) -> int:
     return ((int(n) + m - 1) // m) * m
 
 
-def make_skeleton_fn(spec: NetSpec, caps: Caps, marks_len: int, eps: float):
-    """On-device initial skeleton (sign pruning), emitted straight into the
-    extraction pools — no host round-trip for the lattice outputs.
+def _edges_from_sgn(sgn, M: int):
+    """Axis-major lattice edge masks from the sign lattice [M,M,M,R] — the
+    exact emission order of the host grid_skeleton (single chunk) so every
+    skeleton variant yields bit-identical edge ordering."""
+    ax = jnp.arange(M, dtype=jnp.int32)
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    serial = (gx * M * M + gy * M + gz).astype(jnp.int32)
+    masks, e_a, e_b = [], [], []
+    for axis in range(3):
+        sl_a = tuple(slice(1, None) if d == axis else slice(None)
+                     for d in range(3))
+        sl_b = tuple(slice(None, -1) if d == axis else slice(None)
+                     for d in range(3))
+        m = (sgn[sl_a] != sgn[sl_b]).any(-1)
+        masks.append(m.reshape(-1))
+        e_a.append(serial[sl_a].reshape(-1))
+        e_b.append(serial[sl_b].reshape(-1))
+    return (jnp.concatenate(masks), jnp.concatenate(e_a),
+            jnp.concatenate(e_b))
+
+
+def _squeeze_edges(spec, mask, ea, eb, M: int, SV: int, SE: int,
+                   lattice_out=None, params=None, marks=None):
+    """Compact lattice edges + vertices used by them (squeeze_edges,
+    reference tropical.py:211-222).  Per-vertex outputs come from the full
+    lattice array when available (single-block), else are recomputed with a
+    forward pass over the compacted vertices (slab path, which only stores
+    int8 signs)."""
+    lanes, val, n_edges = _compact_lanes(mask, SE)
+    ovf = jnp.where(n_edges > SE, jnp.int32(OVF_E), 0)
+    ea_c = jnp.where(val, ea[lanes], 0)
+    eb_c = jnp.where(val, eb[lanes], 0)
+
+    used = jnp.zeros(M * M * M, bool)
+    used = used.at[jnp.where(val, ea_c, M * M * M)].set(True, mode="drop")
+    used = used.at[jnp.where(val, eb_c, M * M * M)].set(True, mode="drop")
+    new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
+    vlanes, vval, n_verts = _compact_lanes(used, SV)
+    ovf = ovf | jnp.where(n_verts > SV, jnp.int32(OVF_V), 0)
+
+    # serial id -> unit-cube coords -> world
+    vx = vlanes // (M * M)
+    vy = (vlanes // M) % M
+    vz = vlanes % M
+    xu = jnp.stack([jnp.take(marks, g, axis=0, mode="clip")
+                    for g in (vx, vy, vz)], axis=-1)
+    world = xu * (spec.scale * 2) - spec.scale
+    V = jnp.where(vval[:, None], world, 0)
+    if lattice_out is not None:
+        OUT = jnp.where(vval[:, None], lattice_out[vlanes], 0)
+    else:
+        OUT = jnp.where(vval[:, None],
+                        net_outputs(spec, params, world), 0)
+    E = jnp.stack([new_index[ea_c], new_index[eb_c]], axis=-1)
+    E = jnp.where(val[:, None], E, 0)
+    return V, OUT, E, n_verts, n_edges, ovf
+
+
+def make_skeleton_fn(spec: NetSpec, skel_caps: tuple, marks_len: int,
+                     eps: float):
+    """On-device initial skeleton (sign pruning) into (SV, SE)-capped
+    buffers — no host round-trip for the lattice outputs.
 
     Reference semantics: tropical.py:81-111 (sign mode) + :211-223
-    (squeeze_edges); single-block variant for lattices that fit HBM
-    (marks_len^3 * R floats; up to ~medium configs), larger lattices use the
-    chunked host path.
+    (squeeze_edges); single-block variant for lattices whose float outputs
+    fit HBM (marks_len^3 * R * 4 bytes; up to ~medium configs).  Larger
+    lattices use :func:`make_slab_skeleton_fn`.
     """
-    VCAP, ECAP = caps.vcap, caps.ecap
+    SV, SE = skel_caps
     M = marks_len
 
     @jax.jit
@@ -692,43 +767,62 @@ def make_skeleton_fn(spec: NetSpec, caps: Caps, marks_len: int, eps: float):
         out = net_outputs(spec, params, world)                 # [M^3, R]
         sgn = _eps_sign(out, eps).astype(jnp.int8).reshape(M, M, M, R_COLS)
 
-        serial = (gx * M * M + gy * M + gz).astype(jnp.int32)  # [M,M,M]
-
-        masks, e_a, e_b = [], [], []
-        for axis in range(3):
-            sl_a = tuple(slice(1, None) if d == axis else slice(None)
-                         for d in range(3))
-            sl_b = tuple(slice(None, -1) if d == axis else slice(None)
-                         for d in range(3))
-            m = (sgn[sl_a] != sgn[sl_b]).any(-1)
-            masks.append(m.reshape(-1))
-            e_a.append(serial[sl_a].reshape(-1))
-            e_b.append(serial[sl_b].reshape(-1))
-        mask = jnp.concatenate(masks)
-        ea = jnp.concatenate(e_a)
-        eb = jnp.concatenate(e_b)
-
-        lanes, val, n_edges = _compact_lanes(mask, ECAP)
-        ovf = jnp.where(n_edges > ECAP, jnp.int32(OVF_E), 0)
-        ea_c = jnp.where(val, ea[lanes], 0)
-        eb_c = jnp.where(val, eb[lanes], 0)
-
-        # vertices used by surviving edges (squeeze_edges, tropical.py:211-222)
-        used = jnp.zeros(M * M * M, bool)
-        used = used.at[jnp.where(val, ea_c, M * M * M)].set(True, mode="drop")
-        used = used.at[jnp.where(val, eb_c, M * M * M)].set(True, mode="drop")
-        new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
-        vlanes, vval, n_verts = _compact_lanes(used, VCAP)
-        ovf = ovf | jnp.where(n_verts > VCAP, jnp.int32(OVF_V), 0)
-
-        V = jnp.where(vval[:, None], world[vlanes], 0)
-        OUT = jnp.where(vval[:, None], out[vlanes], 0)
-        E = jnp.stack([new_index[ea_c], new_index[eb_c]], axis=-1)
-        E = jnp.where(val[:, None], E, 0)
-
-        return V, OUT, E, n_verts, n_edges, ovf
+        mask, ea, eb = _edges_from_sgn(sgn, M)
+        return _squeeze_edges(spec, mask, ea, eb, M, SV, SE,
+                              lattice_out=out, marks=marks)
 
     return skeleton
+
+
+def make_slab_skeleton_fn(spec: NetSpec, skel_caps: tuple, marks_len: int,
+                          eps: float, slab: int = 16):
+    """Slab-chunked device skeleton for lattices too big to hold float
+    outputs in HBM (marks > 128, e.g. the large preset's M~201 where the
+    full [M^3, R] float lattice is ~1 GiB).
+
+    A fori_loop sweeps x-slabs, storing only the int8 sign lattice
+    ([M^3, R] bytes, ~268 MB at M=201); edge extraction then runs globally
+    in the same axis-major order as the single-block variant, so vertex and
+    edge ordering are bit-identical.  Per-vertex float outputs are
+    recomputed for the compacted vertex set only.
+    """
+    SV, SE = skel_caps
+    M = marks_len
+    S = min(slab, M)
+    n_slabs = -(-M // S)
+
+    @jax.jit
+    def skeleton(params, marks):
+        SGN = jnp.zeros((M, M, M, R_COLS), jnp.int8)
+
+        def body(s, SGN):
+            # the final slab is shifted back to stay in range; the overlap
+            # rows recompute identical values
+            x0 = jnp.minimum(s * S, M - S)
+            xs = x0 + jnp.arange(S, dtype=jnp.int32)
+            mk_x = jnp.take(marks, xs, axis=0, mode="clip")
+            gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
+            pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+            world = pts * (spec.scale * 2) - spec.scale
+            out = net_outputs(spec, params, world)
+            sgn = _eps_sign(out, eps).astype(jnp.int8).reshape(
+                S, M, M, R_COLS)
+            return jax.lax.dynamic_update_slice(SGN, sgn, (x0, 0, 0, 0))
+
+        SGN = jax.lax.fori_loop(0, n_slabs, body, SGN)
+        mask, ea, eb = _edges_from_sgn(SGN, M)
+        return _squeeze_edges(spec, mask, ea, eb, M, SV, SE,
+                              params=params, marks=marks)
+
+    return skeleton
+
+
+def default_skel_caps(marks_len: int) -> tuple:
+    """Initial-skeleton buffer sizes from the lattice resolution.  Sign-mode
+    skeleton edges measured at ~39-51*M^2 (sphere small/medium); 64*M^2
+    gives headroom, with overflow-flag retries doubling on miss."""
+    n = _round_up(64 * marks_len * marks_len)
+    return (n, n)
 
 
 def _pow2(n: int, minimum: int = 1024) -> int:
@@ -756,16 +850,21 @@ _EXTRACT_CACHE: dict = {}
 # caps that succeeded for a (spec, problem-size bucket): subsequent
 # extractions skip the overflow-retry ramp entirely
 _GOOD_CAPS: dict = {}
+# skeleton buffer caps that succeeded per (spec, marks, eps)
+_SKEL_CAPS: dict = {}
 
 
 def _evict_stale_programs(keep: int = 2) -> None:
     """Keep at most ``keep`` compiled programs per (family minus caps) —
     every overflow-retry compiles a fresh multi-second XLA program keyed by
-    its full Caps tuple, and without eviction the ramp's intermediate
-    programs live forever (real memory at large caps)."""
+    its full Caps tuple (or skeleton/pool size tuples), and without eviction
+    the ramp's intermediate programs live forever (real memory at large
+    caps)."""
     by_family: dict = {}
     for k in _EXTRACT_CACHE:
-        fam = tuple(x for x in k if not isinstance(x, Caps))
+        fam = tuple(x for x in k
+                    if not (isinstance(x, (Caps, tuple))
+                            or (isinstance(x, int) and not isinstance(x, bool))))
         by_family.setdefault(fam, []).append(k)
     for keys in by_family.values():
         for k in keys[:-keep]:  # dicts are insertion-ordered: oldest first
@@ -790,7 +889,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     enlarged caps if any capacity overflowed.
     """
     from tropical.extract.faces import extract_faces
-    from tropical.extract.skeleton import get_hypercube, grid_skeleton
+    from tropical.extract.skeleton import get_hypercube
 
     if not device_engine_supports(net):
         raise ValueError(
@@ -802,39 +901,56 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     size_key = (net.spec, M, force)
     caps = caps or _GOOD_CAPS.get(size_key)
 
-    def _device_skeleton(caps):
-        key = ("skel", net.spec, caps, M, eps)
-        if key not in _EXTRACT_CACHE:
-            _EXTRACT_CACHE[key] = make_skeleton_fn(net.spec, caps, M, eps)
-        return _EXTRACT_CACHE[key](net.params, net.marks)
+    # --- initial skeleton, fully on device with its own (SV, SE) caps ------
+    # (decoupled from the loop caps so no host round-trip of the lattice is
+    # ever needed — the chunked host skeleton pulls ~130 MB/([M/128]^3 chunk)
+    # through a ~40 MB/s tunnel)
+    skel_key = (net.spec, M, eps)
+    skel_caps = _SKEL_CAPS.get(skel_key) or default_skel_caps(M)
+    for _ in range(5):
+        kkey = ("skel", net.spec, skel_caps, M, eps)
+        if kkey not in _EXTRACT_CACHE:
+            mk = (make_skeleton_fn if M <= 128
+                  and M ** 3 * R_COLS * 4 <= 2 ** 30 else make_slab_skeleton_fn)
+            _EXTRACT_CACHE[kkey] = mk(net.spec, skel_caps, M, eps)
+        Vs, Os, Es, nV0, nE0, ovf_s = _EXTRACT_CACHE[kkey](
+            net.params, net.marks)
+        ovf_s = int(ovf_s)
+        if ovf_s == 0:
+            break
+        skel_caps = (skel_caps[0] * (2 if ovf_s & OVF_V else 1),
+                     skel_caps[1] * (2 if ovf_s & OVF_E else 1))
+        if verbose:
+            print(f"[device-skeleton] overflow {ovf_s}; retry {skel_caps}")
+    else:
+        raise RuntimeError(f"skeleton exceeded caps after retries: {skel_caps}")
+    _SKEL_CAPS[skel_key] = skel_caps
+    nV0 = np.int32(nV0)
+    nE0 = np.int32(nE0)
 
-    # steady state: skeleton fused on device (single-block lattice), feeding
-    # the extraction pools directly — no host round-trip.  First call (no
-    # remembered caps) or big lattices take the chunked host skeleton.
-    host_skeleton = caps is None or M > 128 or M ** 3 * R_COLS * 4 > 2 ** 30
-    if host_skeleton:
-        V0, E0 = grid_skeleton(net)
-        if E0.shape[0] == 0:
-            V0, E0, _ = get_hypercube(d, size)
-        V0d = jnp.asarray(np.asarray(V0, np.float32))
-        E0d = jnp.asarray(np.asarray(E0, np.int32))
-        out0 = net.outputs(V0d)
-        caps = caps or default_caps(V0.shape[0], E0.shape[0])
+    if int(nE0) == 0:  # degenerate net: hypercube fallback (subpoly.py:51-52)
+        V0, E0, _ = get_hypercube(d, size)
+        Vs = jnp.asarray(np.asarray(V0, np.float32))
+        Es = jnp.asarray(np.asarray(E0, np.int32))
+        Os = net.outputs(Vs)
+        nV0 = np.int32(V0.shape[0])
+        nE0 = np.int32(E0.shape[0])
+
+    caps = caps or default_caps(int(nV0), int(nE0))
+
+    def _fit(a, n):
+        if a.shape[0] >= n:
+            return jax.lax.slice(a, (0,) * a.ndim, (n,) + a.shape[1:])
+        pad = jnp.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a, pad])
 
     for _attempt in range(6):
-        if host_skeleton:
-            Vp = jnp.zeros((caps.vcap, 3), jnp.float32)
-            Vp = jax.lax.dynamic_update_slice(Vp, V0d, (0, 0))
-            Op = jnp.zeros((caps.vcap, R_COLS), jnp.float32)
-            Op = jax.lax.dynamic_update_slice(Op, out0, (0, 0))
-            Ep = jnp.zeros((caps.ecap, 2), jnp.int32)
-            Ep = jax.lax.dynamic_update_slice(Ep, E0d, (0, 0))
-            nV0 = np.int32(V0.shape[0])
-            nE0 = np.int32(E0.shape[0])
-            ovf_s = 0
-        else:
-            Vp, Op, Ep, nV0, nE0, ovf_s = _device_skeleton(caps)
-            ovf_s = int(ovf_s)
+        pkey = ("pools", Vs.shape[0], Es.shape[0], caps.vcap, caps.ecap)
+        if pkey not in _EXTRACT_CACHE:
+            _EXTRACT_CACHE[pkey] = jax.jit(
+                lambda v, o, e, vc=caps.vcap, ec=caps.ecap:
+                (_fit(v, vc), _fit(o, vc), _fit(e, ec)))
+        Vp, Op, Ep = _EXTRACT_CACHE[pkey](Vs, Os, Es)
 
         key = (net.spec, caps, eps, force)
         if key not in _EXTRACT_CACHE:
