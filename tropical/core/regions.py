@@ -69,8 +69,33 @@ def regions_to_vertices(m: np.ndarray, offset: np.ndarray
 
     m_aug = np.concatenate(aug_list, axis=0)
     idx_org = np.concatenate(idx_list, axis=0)
-    _, r_idx = np.unique(m_aug, axis=0, return_inverse=True)
-    return r_idx.astype(np.int64), idx_org
+    # Region ids by packed-key grouping: after expansion, neuron columns are
+    # in {-1,+1} (one sign bit) and grid columns are small cell indices, so
+    # every row packs exactly into a few int64 keys — grouping is identical
+    # to np.unique(axis=0) over the wide row matrix but ~20x faster (the
+    # wide-row unique was ~70% of the whole faces stage).  Region id
+    # NUMBERING differs (key order vs row-lex order), which nothing
+    # downstream observes: connecting-edge pairs are sorted+deduped and the
+    # faces table is re-sorted by vertex content (subpoly.py:617-620).
+    kg = np.zeros(m_aug.shape[0], np.int64)
+    for dax in range(D):
+        # +2: grid values reach offset-1 >= -2 under the -1 wrap semantics
+        kg = (kg << 21) | (m_aug[:, dax] + 2)
+    nb = m_aug[:, D:] > 0
+    keys = [kg]
+    for c0 in range(0, C - D, 62):
+        w = nb[:, c0:c0 + 62]
+        keys.append(w.dot(1 << np.arange(w.shape[1], dtype=np.int64)))
+    order = np.lexsort(tuple(keys[::-1]))
+    ks = [kk[order] for kk in keys]
+    new = np.zeros(m_aug.shape[0], bool)
+    new[0] = True
+    for kk in ks:
+        new[1:] |= kk[1:] != kk[:-1]
+    rid_sorted = np.cumsum(new) - 1
+    r_idx = np.empty(m_aug.shape[0], np.int64)
+    r_idx[order] = rid_sorted
+    return r_idx, idx_org
 
 
 def region_table(r_idx: np.ndarray, idx_org: np.ndarray,
