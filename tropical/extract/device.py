@@ -102,6 +102,31 @@ def _grid_region(marks, xu, eps):
     return mask, off
 
 
+LUTN = 1024  # uniform-grid cells for the mark lookup table
+
+
+def _grid_region_lut(marks, base, xu, eps, K: int):
+    """Exact replacement for :func:`_grid_region` using a uniform lookup
+    table: ``base[j] = #marks < j/LUTN`` plus at most ``K`` refinement
+    gathers (K = max marks per 1/LUTN cell, computed host-side) instead of
+    the log2(M)-round vectorized binary search — the search was ~24 ms per
+    busy step at medium scale."""
+    q = xu + eps
+    j = jnp.clip((q * LUTN).astype(jnp.int32), 0, LUTN - 1)
+    cnt = jnp.take(base, j, axis=0)
+    start = cnt
+    Mm = marks.shape[0]
+    for t in range(K):
+        pos = start + t
+        mk = jnp.take(marks, jnp.minimum(pos, Mm - 1), axis=0)
+        cnt = cnt + ((pos < Mm) & (mk < q)).astype(jnp.int32)
+    off = cnt - 1
+    wrapped = jnp.where(off < 0, off + Mm, off)
+    mark_at = jnp.take(marks, wrapped, axis=0, mode="clip")
+    mask = (jnp.abs(mark_at - xu) > eps).astype(jnp.int32)
+    return mask, off
+
+
 def _compact_lanes(mask, K: int):
     """Indices of the first K live lanes, in order.
 
@@ -159,7 +184,8 @@ def _corner_points(e0, e1):
 
 
 def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
-                 disable: frozenset = frozenset(), force: bool = True):
+                 disable: frozenset = frozenset(), force: bool = True,
+                 lut_k: int = 4):
     """``disable`` is a profiling knob: any of {"forward", "override",
     "pairs", "repsort", "windows", "prune"} cuts a stage out to isolate
     costs (results are then of course not meaningful).
@@ -175,7 +201,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
     PREP = 1 << KCAP
     CAND = CCAP + HCAP
 
-    def step(params, marks, state: State, idx, prune: bool) -> State:
+    def step(params, marks, lut, state: State, idx, prune: bool) -> State:
         """One insertion.  Steps whose plane splits no edge return unchanged
         (reference subpoly.py:110-111) — in practice ~2/3 of all steps — via
         lax.cond, so idle steps cost one gather pass instead of the full
@@ -191,12 +217,12 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         return jax.lax.cond(
             split.any(),
-            lambda st: _busy_step(params, marks, st, idx, prune,
+            lambda st: _busy_step(params, marks, lut, st, idx, prune,
                                   outcol, d0, d1, split),
             lambda st: st,
             state)
 
-    def _busy_step(params, marks, state: State, idx, prune: bool,
+    def _busy_step(params, marks, lut, state: State, idx, prune: bool,
                    outcol, d0, d1, split) -> State:
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
@@ -347,6 +373,20 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # (the hit scan walks edges); the epilogue recomputes it once
 
         # --- 7. edge rewrite + right-edge append (subpoly.py:210-215) ----------
+        # Appends are PRE-filtered by the same future-sign-key test the
+        # end-of-step prune applies (subpoly.py:253-272): an appended edge
+        # whose endpoints share every future sign would be dropped by the
+        # prune a few stages later anyway, so filtering at append time is
+        # semantically identical but keeps the edge pool (and its memoized
+        # cap — every pool lane costs work each step) at the live size.
+        # The packed keys are reused by the prune itself.
+        colf = jnp.arange(R_COLS, dtype=jnp.int32)
+        pk1, pk2 = _pack_base3(_eps_sign(OUT, eps), colf >= idx)
+        prefilter = prune  # static: the final insertion is NOT pruned
+        #                    (subpoly.py:67-69,253), so its appends must not
+        #                    be pre-filtered either — the funnel's "B" count
+        #                    includes them
+
         # lane -> candidate index -> survivor rank (gathers only, no scatter)
         rank = jnp.cumsum(split.astype(jnp.int32)) - 1
         split_kept = split & keep_c[rank]
@@ -357,15 +397,21 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         e1_col = E[:, 1]
         E = jnp.stack(
             [E[:, 0], jnp.where(split_kept, new_id, E[:, 1])], axis=-1)
+        ra = jnp.where(sval, old_second[slanes], 0)
+        rb = nV + jnp.arange(CCAP, dtype=jnp.int32)
+        if prefilter:
+            keep_r = sval & ((pk1[ra] != pk1[rb]) | (pk2[ra] != pk2[rb]))
+            rlanes, rval, n_eapp = _compact_lanes(keep_r, CCAP)
+        else:
+            rlanes, rval, n_eapp = jnp.arange(CCAP, dtype=jnp.int32), sval, n_new
         e_app = jnp.stack(
-            [jnp.where(sval, old_second[slanes], 0),
-             jnp.where(sval, nV + jnp.arange(CCAP, dtype=jnp.int32), 0)],
-            axis=-1)
+            [jnp.where(rval, ra[rlanes], 0),
+             jnp.where(rval, rb[rlanes], 0)], axis=-1)
         start_e = jnp.minimum(nE, ECAP - CCAP)
-        ovf = ovf | jnp.where(nE + n_new > ECAP - CCAP, OVF_E, 0)
+        ovf = ovf | jnp.where(nE + n_eapp > ECAP - CCAP, OVF_E, 0)
         E = jax.lax.dynamic_update_slice(E, e_app, (start_e, 0))
-        aliveE = jax.lax.dynamic_update_slice(aliveE, sval, (start_e,))
-        nE2 = nE + n_new
+        aliveE = jax.lax.dynamic_update_slice(aliveE, rval, (start_e,))
+        nE2 = nE + n_eapp
         nV2 = nV + n_new
 
         if "pairs" in disable:  # profiling cut: skip stages 8-12
@@ -405,7 +451,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         all_valid = jnp.concatenate([sval, hval])
 
         xu = preprocess(spec, all_v)
-        cand_g, cand_o = _grid_region(marks, xu, eps)           # [CAND, 3]
+        cand_g, cand_o = _grid_region_lut(marks, lut, xu, eps, lut_k)  # [CAND, 3]
         cand_s = _eps_sign(all_out, eps)                        # [CAND, R]
         # active neuron columns: col < idx (current plane excluded;
         # reference subpoly.py:187 splits at m_idx)
@@ -560,6 +606,9 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             return state
 
         # --- 12. dedup + append connecting edges (subpoly.py:241-250) ----------
+        # (also pre-filtered by the future-sign-key prune test, like the
+        # right-edge appends in stage 7 — most raw connecting edges die in
+        # the same step's prune, so filtering first keeps the pool small)
         lo = jnp.where(keep_pair, jnp.minimum(va, vb), jnp.int32(VCAP))
         hi = jnp.where(keep_pair, jnp.maximum(va, vb), jnp.int32(VCAP))
         slo, shi = jax.lax.sort((lo, hi), num_keys=2)
@@ -567,6 +616,10 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             jnp.ones(1, bool),
             (slo[1:] != slo[:-1]) | (shi[1:] != shi[:-1])])
         uniq = first & (slo < VCAP)
+        if prefilter:
+            uniq = uniq & (
+                (pk1[jnp.minimum(slo, VCAP - 1)] != pk1[jnp.minimum(shi, VCAP - 1)])
+                | (pk2[jnp.minimum(slo, VCAP - 1)] != pk2[jnp.minimum(shi, VCAP - 1)]))
         CONNCAP = caps.conncap  # conn edges can outnumber splits
         ulanes, uval, n_conn = _compact_lanes(uniq, CONNCAP)
         ovf = ovf | jnp.where(n_conn > CONNCAP, OVF_P, 0)
@@ -582,22 +635,28 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             n_split, n_hit, n_pairs, n_conn, nV2, nE3, n_b]))
         state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw)
         if prune and "prune" not in disable:
-            state = _prune(state, idx, eps)
+            state = _prune(state, idx, eps, keys=(pk1, pk2))
         return state
 
-    def _prune(state: State, idx, eps) -> State:
-        """Drop edges whose endpoints share identical future sign vectors,
-        compact surviving edges AND their vertices to pool prefixes
-        (order-preserving renumber, reference subpoly.py:253-277).  With
-        both pools tracking the LIVE working set, the memoized caps — and
-        every per-step pool-width pass — follow the live maxima instead of
-        everything-ever-created (~25x smaller on the vertex pool at
-        medium scale)."""
+    def _prune(state: State, idx, eps, keys=None) -> State:
+        """Drop edges whose endpoints share identical future sign vectors and
+        compact survivors to the pool prefix (reference subpoly.py:253-277).
+        ``keys`` reuses the packed future-sign keys already computed for the
+        append pre-filters.
+
+        The vertex pool is compacted lazily — every 8th insertion or under
+        pool pressure — because the compaction scatter/gather passes cost
+        more per step than the vertex-width passes they save; lazy still
+        bounds the pool at roughly the live maximum (order-preserving
+        renumber, so the final mesh ordering is unchanged)."""
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
-        col = jnp.arange(R_COLS, dtype=jnp.int32)
-        future = col >= idx              # m[:, m_idx:] (subpoly.py:256-258)
-        k1, k2 = _pack_base3(_eps_sign(OUT, eps), future)
+        if keys is None:
+            col = jnp.arange(R_COLS, dtype=jnp.int32)
+            future = col >= idx          # m[:, m_idx:] (subpoly.py:256-258)
+            k1, k2 = _pack_base3(_eps_sign(OUT, eps), future)
+        else:
+            k1, k2 = keys
 
         differ = (k1[E[:, 0]] != k1[E[:, 1]]) | (k2[E[:, 0]] != k2[E[:, 1]])
         keep = aliveE & differ
@@ -608,33 +667,39 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         nE = n_keep
         aliveE = val
 
-        # vertex compaction: keep vertices referenced by live edges
-        # (reference index compaction subpoly.py:262-272); order-preserving,
-        # so the final mesh ordering is unchanged
-        used = jnp.zeros(VCAP, bool)
-        used = used.at[jnp.where(val, E[:, 0], VCAP)].set(True, mode="drop")
-        used = used.at[jnp.where(val, E[:, 1], VCAP)].set(True, mode="drop")
-        new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
-        vlanes, vval, n_used = _compact_lanes(used, VCAP)
-        V = jnp.where(vval[:, None], V[vlanes], 0)
-        OUT = jnp.where(vval[:, None], OUT[vlanes], 0)
-        E = jnp.where(val[:, None], new_index[E], 0)
+        def _compact_vertices(args):
+            V, OUT, E, nV = args
+            used = jnp.zeros(VCAP, bool)
+            used = used.at[jnp.where(val, E[:, 0], VCAP)].set(
+                True, mode="drop")
+            used = used.at[jnp.where(val, E[:, 1], VCAP)].set(
+                True, mode="drop")
+            new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
+            vlanes, vval, n_used = _compact_lanes(used, VCAP)
+            V = jnp.where(vval[:, None], V[vlanes], 0)
+            OUT = jnp.where(vval[:, None], OUT[vlanes], 0)
+            E = jnp.where(val[:, None], new_index[E], 0)
+            return V, OUT, E, n_used
 
-        return State(V, OUT, E, aliveV, aliveE, n_used, nE, ovf, hw)
+        V, OUT, E, nV = jax.lax.cond(
+            (idx % 8 == 7) | (nV > VCAP - 4 * CCAP),
+            _compact_vertices, lambda args: args, (V, OUT, E, nV))
+
+        return State(V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw)
 
     return step, _prune
 
 
 def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                     disable: frozenset = frozenset(), force: bool = True,
-                    stop_before_final: bool = False):
+                    stop_before_final: bool = False, lut_k: int = 4):
     """One jitted program: 32 hidden insertions + the final-layer insertion +
     the |sdf|<eps skeleton filter (reference subpoly.py:60-74,556-581).
 
     ``stop_before_final`` is a debug knob: return the raw padded state after
     the hidden insertions (V, OUT, E, aliveE-compacted edges) for cross-engine
     divergence hunting."""
-    step, _ = make_step_fn(spec, caps, eps, disable, force)
+    step, _ = make_step_fn(spec, caps, eps, disable, force, lut_k)
     VCAP, ECAP = caps.vcap, caps.ecap
     n_hidden_steps = (spec.num_layers - 1) * spec.num_hidden
 
@@ -647,14 +712,18 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         state = State(V0, OUT0, E0, aliveV0, aliveE0, nV0, nE0,
                       jnp.int32(0), hw0)
 
+        lut = jnp.searchsorted(
+            marks, jnp.arange(LUTN, dtype=marks.dtype) / LUTN
+        ).astype(jnp.int32)
+
         def body(i, st):
-            return step(params, marks, st, i, prune=True)
+            return step(params, marks, lut, st, i, prune=True)
 
         state = jax.lax.fori_loop(0, n_hidden_steps, body, state)
         if stop_before_final:
             return state
         # final layer (h == num_hidden): no pruning (subpoly.py:67-69,253)
-        state = step(params, marks, state, jnp.int32(n_hidden_steps),
+        state = step(params, marks, lut, state, jnp.int32(n_hidden_steps),
                      prune=False)
 
         # extract_skeleton: |last col| < eps, inside [0,1]^D (subpoly.py:556-581)
@@ -1033,10 +1102,16 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 (_fit(v, vc), _fit(o, vc), _fit(e, ec)))
         Vp, Op, Ep = _EXTRACT_CACHE[pkey](Vs, Os, Es)
 
-        key = (net.spec, caps, eps, force)
+        # max marks per uniform LUT cell (exactness bound for the fast
+        # grid-region lookup)
+        mk_np = np.asarray(net.marks)
+        lut_k = max(1, int(np.bincount(
+            np.clip((mk_np * LUTN).astype(np.int64), 0, LUTN - 1),
+            minlength=LUTN).max()))
+        key = (net.spec, caps, eps, force, lut_k)
         if key not in _EXTRACT_CACHE:
             _EXTRACT_CACHE[key] = make_extract_fn(net.spec, caps, eps,
-                                                  force=force)
+                                                  force=force, lut_k=lut_k)
         extract = _EXTRACT_CACHE[key]
 
         V, OUT, E, nV, nE, ovf, hw, nV_pre, nE_pre = extract(
