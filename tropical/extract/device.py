@@ -692,7 +692,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
 def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                     disable: frozenset = frozenset(), force: bool = True,
-                    stop_before_final: bool = False, lut_k: int = 4):
+                    stop_before_final: bool = False, lut_k: int = 4,
+                    with_skeleton: bool = False, marks_len: int | None = None):
     """One jitted program: 32 hidden insertions + the final-layer insertion +
     the |sdf|<eps skeleton filter (reference subpoly.py:60-74,556-581).
 
@@ -703,14 +704,13 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
     VCAP, ECAP = caps.vcap, caps.ecap
     n_hidden_steps = (spec.num_layers - 1) * spec.num_hidden
 
-    @jax.jit
-    def extract(params, marks, V0, OUT0, E0, nV0, nE0):
+    def _run(params, marks, V0, OUT0, E0, nV0, nE0, ovf0):
         aliveV0 = jnp.arange(VCAP, dtype=jnp.int32) < nV0
         aliveE0 = jnp.arange(ECAP, dtype=jnp.int32) < nE0
         hw0 = jnp.stack([jnp.int32(0)] * 4
                         + [jnp.int32(nV0), jnp.int32(nE0), jnp.int32(0)])
         state = State(V0, OUT0, E0, aliveV0, aliveE0, nV0, nE0,
-                      jnp.int32(0), hw0)
+                      ovf0, hw0)
 
         lut = jnp.searchsorted(
             marks, jnp.arange(LUTN, dtype=marks.dtype) / LUTN
@@ -763,7 +763,60 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
 
         return V, OUT, E, n_used, n_ekeep, ovf, hw, nV_pre, nE
 
-    return extract
+    if not with_skeleton:
+        @jax.jit
+        def extract(params, marks, V0, OUT0, E0, nV0, nE0):
+            return _run(params, marks, V0, OUT0, E0,
+                        jnp.int32(nV0), jnp.int32(nE0), jnp.int32(0))
+
+        return extract
+
+    # --- fused variant: skeleton + subdivision in ONE program --------------
+    # (steady-state path once caps are known: saves the skeleton dispatch,
+    # the pool-padding dispatch and their tunnel round trips)
+    M = marks_len
+    use_slab = M > 128 or M ** 3 * R_COLS * 4 > 2 ** 30
+    S = min(16, M)
+    n_slabs = -(-M // S)
+
+    @jax.jit
+    def extract_fused(params, marks):
+        if not use_slab:
+            ax = jnp.arange(M, dtype=jnp.int32)
+            gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+            xu = jnp.stack([jnp.take(marks, g.reshape(-1), axis=0)
+                            for g in (gx, gy, gz)], axis=-1)
+            world = xu * (spec.scale * 2) - spec.scale
+            out = net_outputs(spec, params, world)
+            sgn = _eps_sign(out, eps).astype(jnp.int8).reshape(
+                M, M, M, R_COLS)
+            mask, ea, eb = _edges_from_sgn(sgn, M)
+            V0, OUT0, E0, nV0, nE0, ovf0 = _squeeze_edges(
+                spec, mask, ea, eb, M, VCAP, ECAP,
+                lattice_out=out, marks=marks)
+        else:
+            SGN = jnp.zeros((M, M, M, R_COLS), jnp.int8)
+
+            def body(si, SGN):
+                x0 = jnp.minimum(si * S, M - S)
+                xs = x0 + jnp.arange(S, dtype=jnp.int32)
+                mk_x = jnp.take(marks, xs, axis=0, mode="clip")
+                gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
+                pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+                world = pts * (spec.scale * 2) - spec.scale
+                o = net_outputs(spec, params, world)
+                sg = _eps_sign(o, eps).astype(jnp.int8).reshape(
+                    S, M, M, R_COLS)
+                return jax.lax.dynamic_update_slice(SGN, sg, (x0, 0, 0, 0))
+
+            SGN = jax.lax.fori_loop(0, n_slabs, body, SGN)
+            mask, ea, eb = _edges_from_sgn(SGN, M)
+            V0, OUT0, E0, nV0, nE0, ovf0 = _squeeze_edges(
+                spec, mask, ea, eb, M, VCAP, ECAP, params=params,
+                marks=marks)
+        return _run(params, marks, V0, OUT0, E0, nV0, nE0, ovf0)
+
+    return extract_fused
 
 
 def _round_up(n: int, m: int = 8192) -> int:
@@ -1045,6 +1098,84 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     size_tok = _caps_token(net.spec, f"M{M}-f{int(force)}-e{eps}")
     caps = caps or _GOOD_CAPS.get(size_key) or _PERSISTED["good"].get(size_tok)
 
+    # max marks per uniform LUT cell (exactness bound for the fast
+    # grid-region lookup)
+    mk_np = np.asarray(net.marks)
+    lut_k = max(1, int(np.bincount(
+        np.clip((mk_np * LUTN).astype(np.int64), 0, LUTN - 1),
+        minlength=LUTN).max()))
+
+    def _memoize_tight(hw, used_caps):
+        # memoize *tight* caps from the run's high-water marks rather than
+        # whatever the overflow-retry ramp landed on — every padded lane
+        # costs real work each step
+        hws, hwh, hwp, hwc, hwv, hwe, hwb = (int(x) for x in np.asarray(hw))
+        ccap_t = _round_up(int(hws * 1.15), 4096)
+        conncap_t = _round_up(int(hwc * 1.15) + 4096)
+        _GOOD_CAPS[size_key] = Caps(
+            # pools need headroom for one step's append blocks on top of
+            # the high-water (the overflow checks use ECAP-CCAP etc.)
+            vcap=_round_up(int(hwv * 1.05) + ccap_t + 8192),
+            ecap=_round_up(int(hwe * 1.05) + ccap_t + conncap_t + 8192),
+            ccap=ccap_t,
+            hcap=_round_up(int(hwh * 1.3) + 512, 2048),
+            pcap=_round_up(int(hwp * 1.15) + 4096),
+            kcap=used_caps.kcap, wcap=used_caps.wcap,
+            conncap=conncap_t,
+            # each tier-B row costs 2^kcap pair-window lanes: keep tight
+            hb=_round_up(int(hwb * 1.3) + 128, 256))
+        if _PERSISTED["good"].get(size_tok) != _GOOD_CAPS[size_key]:
+            _PERSISTED["good"][size_tok] = _GOOD_CAPS[size_key]
+            _persist_caps()
+        _evict_stale_programs()
+
+    def _finish(V, OUT, E, nV, nE, nV_pre, nE_pre):
+        n_v = int(nV)
+        n_e = int(nE)
+        vertices = np.asarray(V[:n_v])
+        outputs = np.asarray(OUT[:n_v])
+        edges = np.asarray(E[:n_e]).astype(np.int64)
+
+        if verbose:
+            # reference funnel line format (subpoly.py:71-84): A/B => C/D
+            print(f"{int(nV_pre)}/{int(nE_pre)} => "
+                  f"{vertices.shape[0]}/{edges.shape[0]}", end=", ")
+
+        if n_v == 0:
+            stats.record(int(nV_pre), int(nE_pre), 0, 0, 0)
+            return (np.empty((0, 3, 3), np.float32), vertices,
+                    np.empty((0, 3), np.int64))
+
+        faces, tris = extract_faces(vertices, edges, net, outputs, eps)
+        if verbose:
+            print(f"{len(faces)} faces", end=", ")
+        stats.record(int(nV_pre), int(nE_pre), vertices.shape[0],
+                     edges.shape[0], len(faces))
+        return faces, vertices, tris
+
+    # --- steady-state fast path: skeleton + loop fused in ONE program ------
+    # (caps already known from a previous run or the persisted cache: one
+    # dispatch, no skeleton/pool round trips)
+    if caps is not None:
+        fkey = (net.spec, caps, eps, force, lut_k, M, "fused")
+        if fkey not in _EXTRACT_CACHE:
+            _EXTRACT_CACHE[fkey] = make_extract_fn(
+                net.spec, caps, eps, force=force, lut_k=lut_k,
+                with_skeleton=True, marks_len=M)
+        V, OUT, E, nV, nE, ovf, hw, nV_pre, nE_pre = _EXTRACT_CACHE[fkey](
+            net.params, net.marks)
+        ovf = int(ovf)
+        if ovf & OVF_X:
+            raise RuntimeError(
+                "curved split edge lies on no earlier plane (reference "
+                "invariant subpoly.py:141-148); extraction aborted")
+        if ovf == 0 and int(nE_pre) > 0:
+            _memoize_tight(hw, caps)
+            return _finish(V, OUT, E, nV, nE, nV_pre, nE_pre)
+        if verbose:
+            print(f"[device-extract] fused path overflow mask {ovf}; "
+                  "falling back to the ramp")
+
     # --- initial skeleton, fully on device with its own (SV, SE) caps ------
     # (decoupled from the loop caps so no host round-trip of the lattice is
     # ever needed — the chunked host skeleton pulls ~130 MB/([M/128]^3 chunk)
@@ -1102,12 +1233,6 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 (_fit(v, vc), _fit(o, vc), _fit(e, ec)))
         Vp, Op, Ep = _EXTRACT_CACHE[pkey](Vs, Os, Es)
 
-        # max marks per uniform LUT cell (exactness bound for the fast
-        # grid-region lookup)
-        mk_np = np.asarray(net.marks)
-        lut_k = max(1, int(np.bincount(
-            np.clip((mk_np * LUTN).astype(np.int64), 0, LUTN - 1),
-            minlength=LUTN).max()))
         key = (net.spec, caps, eps, force, lut_k)
         if key not in _EXTRACT_CACHE:
             _EXTRACT_CACHE[key] = make_extract_fn(net.spec, caps, eps,
@@ -1125,29 +1250,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 "curved split edge lies on no earlier plane (reference "
                 "invariant subpoly.py:141-148); extraction aborted")
         if ovf == 0:
-            # memoize *tight* caps from the run's high-water marks rather
-            # than whatever the overflow-retry ramp landed on — every padded
-            # lane costs real work each step
-            hws, hwh, hwp, hwc, hwv, hwe, hwb = (
-                int(x) for x in np.asarray(hw))
-            ccap_t = _round_up(int(hws * 1.15), 4096)
-            conncap_t = _round_up(int(hwc * 1.15) + 4096)
-            _GOOD_CAPS[size_key] = Caps(
-                # pools need headroom for one step's append blocks on top of
-                # the high-water (the overflow checks use ECAP-CCAP etc.)
-                vcap=_round_up(int(hwv * 1.05) + ccap_t + 8192),
-                ecap=_round_up(int(hwe * 1.05) + ccap_t + conncap_t + 8192),
-                ccap=ccap_t,
-                hcap=_round_up(int(hwh * 1.3) + 512, 2048),
-                pcap=_round_up(int(hwp * 1.15) + 4096),
-                kcap=caps.kcap, wcap=caps.wcap,
-                conncap=conncap_t,
-                # each tier-B row costs 2^kcap pair-window lanes: keep tight
-                hb=_round_up(int(hwb * 1.3) + 128, 256))
-            if _PERSISTED["good"].get(size_tok) != _GOOD_CAPS[size_key]:
-                _PERSISTED["good"][size_tok] = _GOOD_CAPS[size_key]
-                _persist_caps()
-            _evict_stale_programs()
+            _memoize_tight(hw, caps)
             break
         # root-cause retry: once a capacity buffer overflows, the dynamics
         # downstream are garbage and every later flag is noise — grow only
@@ -1181,25 +1284,4 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     else:
         raise RuntimeError(f"extraction exceeded caps after retries: {caps}")
 
-    n_v = int(nV)
-    n_e = int(nE)
-    vertices = np.asarray(V[:n_v])
-    outputs = np.asarray(OUT[:n_v])
-    edges = np.asarray(E[:n_e]).astype(np.int64)
-
-    if verbose:
-        # reference funnel line format (subpoly.py:71-84): A/B => C/D
-        print(f"{int(nV_pre)}/{int(nE_pre)} => "
-              f"{vertices.shape[0]}/{edges.shape[0]}", end=", ")
-
-    if n_v == 0:
-        stats.record(int(nV_pre), int(nE_pre), 0, 0, 0)
-        return (np.empty((0, 3, 3), np.float32), vertices,
-                np.empty((0, 3), np.int64))
-
-    faces, tris = extract_faces(vertices, edges, net, outputs, eps)
-    if verbose:
-        print(f"{len(faces)} faces", end=", ")
-    stats.record(int(nV_pre), int(nE_pre), vertices.shape[0], edges.shape[0],
-                 len(faces))
-    return faces, vertices, tris
+    return _finish(V, OUT, E, nV, nE, nV_pre, nE_pre)
