@@ -162,10 +162,9 @@ def _pack_base3(signs, col_active):
     digits = jnp.where(col_active[None, :], signs + 1, 0)
     keys = []
     for lo, hi in ((0, 19), (19, 33)):
-        k = jnp.zeros(signs.shape[0], jnp.int32)
-        for j in range(lo, hi):
-            k = k * 3 + digits[:, j]
-        keys.append(k)
+        w = 3 ** jnp.arange(hi - lo - 1, -1, -1, dtype=jnp.int32)
+        keys.append(jnp.sum(digits[:, lo:hi] * w[None, :], axis=1,
+                            dtype=jnp.int32))
     return keys
 
 
@@ -461,9 +460,10 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         #   zs: bit j = neuron col j is zero (cols 0..31; col 32 is never
         #       active since idx <= 32)
         #   go: 3 x 9-bit grid cell (+1) | 3-bit grid-zero mask at bits 27..29
-        zs = jnp.zeros(CAND, jnp.uint32)
-        for j in range(min(R_COLS, 32)):
-            zs = zs | ((cand_s[:, j] == 0).astype(jnp.uint32) << j)
+        zbit = jnp.uint32(1) << jnp.arange(min(R_COLS, 32),
+                                           dtype=jnp.uint32)
+        zs = jnp.sum((cand_s[:, :min(R_COLS, 32)] == 0).astype(jnp.uint32)
+                     * zbit[None, :], axis=1, dtype=jnp.uint32)
         go = ((cand_o[:, 0] + 1)
               | ((cand_o[:, 1] + 1) << 9)
               | ((cand_o[:, 2] + 1) << 18)).astype(jnp.uint32)
@@ -495,12 +495,10 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                 p[:, :, 0] < (1 << jnp.minimum(kz0, kmax))[None, :])
             k1 = ((gd[..., 0] + 1) + ((gd[..., 1] + 1) << 10)
                   + ((gd[..., 2] + 1) << 20))
-            k2 = jnp.zeros(gd.shape[:2], jnp.int32)
-            for j in range(16):
-                k2 = k2 | (nb[..., j] << j)
-            k3 = jnp.zeros(gd.shape[:2], jnp.int32)
-            for j in range(17):
-                k3 = k3 | (nb[..., 16 + j] << j)
+            b16 = 1 << jnp.arange(16, dtype=jnp.int32)
+            k2 = jnp.sum(nb[..., :16] * b16, axis=-1, dtype=jnp.int32)
+            b17 = 1 << jnp.arange(17, dtype=jnp.int32)
+            k3 = jnp.sum(nb[..., 16:33] * b17, axis=-1, dtype=jnp.int32)
             k1 = jnp.where(rep_valid, k1, big)
             rows = jnp.broadcast_to(rows0[None], k1.shape)
             return (k1.reshape(-1), k2.reshape(-1), k3.reshape(-1),
