@@ -680,7 +680,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             return V, OUT, E, n_used
 
         V, OUT, E, nV = jax.lax.cond(
-            (idx % 8 == 7) | (nV > VCAP - 4 * CCAP),
+            (idx % 8 == 7) | (nV + 2 * CCAP > VCAP),
             _compact_vertices, lambda args: args, (V, OUT, E, nV))
 
         return State(V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw)
@@ -1110,7 +1110,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         hws, hwh, hwp, hwc, hwv, hwe, hwb = (int(x) for x in np.asarray(hw))
         ccap_t = _round_up(int(hws * 1.15), 4096)
         conncap_t = _round_up(int(hwc * 1.15) + 4096)
-        _GOOD_CAPS[size_key] = Caps(
+        derived = Caps(
             # pools need headroom for one step's append blocks on top of
             # the high-water (the overflow checks use ECAP-CCAP etc.)
             vcap=_round_up(int(hwv * 1.05) + ccap_t + 8192),
@@ -1122,8 +1122,24 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             conncap=conncap_t,
             # each tier-B row costs 2^kcap pair-window lanes: keep tight
             hb=_round_up(int(hwb * 1.3) + 128, 256))
-        if _PERSISTED["good"].get(size_tok) != _GOOD_CAPS[size_key]:
-            _PERSISTED["good"][size_tok] = _GOOD_CAPS[size_key]
+        # hysteresis: the high-water marks themselves depend (mildly) on the
+        # caps the run used (lazy-compaction trigger points), so re-deriving
+        # every run would oscillate, and each oscillation costs a full XLA
+        # recompile.  Keep the caps we just ran with unless some buffer is
+        # meaningfully oversized (>1.5x) or too small.
+        import dataclasses
+
+        def acceptable(cur: Caps, want: Caps) -> bool:
+            for f in dataclasses.fields(Caps):
+                c, w = getattr(cur, f.name), getattr(want, f.name)
+                if c < w or c > max(int(w * 1.5), w + 16384):
+                    return False
+            return True
+
+        chosen = used_caps if acceptable(used_caps, derived) else derived
+        _GOOD_CAPS[size_key] = chosen
+        if _PERSISTED["good"].get(size_tok) != chosen:
+            _PERSISTED["good"][size_tok] = chosen
             _persist_caps()
         _evict_stale_programs()
 
