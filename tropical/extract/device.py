@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tropical.core.net import NetSpec, net_outputs, preprocess
+from tropical.core.net import NetSpec, net_outputs, net_sdf, preprocess
 from tropical.core.trilinear import intersection_of_two_planes
 from tropical.extract import stats
 
@@ -55,6 +55,7 @@ D = 3
 OVF_V, OVF_E, OVF_C, OVF_P, OVF_K, OVF_W, OVF_H = 1, 2, 4, 8, 16, 32, 64
 OVF_X = 128  # invariant violation: a curved edge lies on no earlier plane
 OVF_B = 256  # tier-B (high-zero-count) expansion side buffer overflow
+OVF_F = 512  # faces-stage capacity (final verts / regions / triangles)
 
 
 @dataclass(frozen=True)
@@ -72,6 +73,10 @@ class Caps:
     hb: int = 0          # tier-B expansion rows (0 = auto); each row costs
     #                      2^kcap replica lanes in the pair window, so a
     #                      tight cap (from the hw marks) matters
+    fvcap: int = 0       # faces stage: final surface vertices (0 = auto)
+    rgcap: int = 0       # faces stage: region polygon rows (0 = auto)
+    tcap: int = 0        # faces stage: output triangles (0 = auto)
+    hbf: int = 0         # faces stage: tier-B expansion rows (0 = auto)
 
 
 class State(NamedTuple):
@@ -83,9 +88,10 @@ class State(NamedTuple):
     nV: jax.Array       # i32 creation cursor
     nE: jax.Array       # i32 creation cursor
     overflow: jax.Array  # i32 bitmask of OVF_* flags
-    hw: jax.Array       # [7] i32 high-water marks: splits, hits, pairs,
-    #                     conns, nV, nE, tierB — lets the host re-derive
-    #                     tight caps
+    hw: jax.Array       # [11] i32 high-water marks: splits, hits, pairs,
+    #                     conns, nV, nE, tierB, then the faces stage's
+    #                     final-verts/tierB/regions/triangles — lets the
+    #                     host re-derive tight caps
 
 
 def _eps_sign(out, eps):
@@ -166,6 +172,36 @@ def _pack_base3(signs, col_active):
         keys.append(jnp.sum(digits[:, lo:hi] * w[None, :], axis=1,
                             dtype=jnp.int32))
     return keys
+
+
+BIGKEY = 2 ** 30  # sorts invalid replica lanes past every real region key
+
+
+def _expand_keys(cols0, zrank0, off0, valid0, kz0, P, kmax, rows0):
+    """2^zeros region-replica expansion -> packed (k1,k2,k3) sort keys.
+
+    Each of P sign patterns substitutes the row's zero columns (pattern bit
+    b of the column's zero-rank); grid columns map -1/+1 to cell offset-1 /
+    offset (reference subpoly.py:299-335).  Invalid replicas get k1=BIGKEY.
+    """
+    p = jnp.arange(P, dtype=jnp.int32)[:, None, None]
+    bit = (p >> jnp.clip(zrank0, 0, kmax - 1)[None]) & 1
+    sub = jnp.where(bit > 0, 1, -1)
+    vals = jnp.where((cols0 == 0)[None], sub, cols0[None])
+    gd = (vals[:, :, :D] - 1) // 2 + off0[None]
+    nb = (vals[:, :, D:] + 1) // 2
+    rep_valid = valid0[None, :] & (
+        p[:, :, 0] < (1 << jnp.minimum(kz0, kmax))[None, :])
+    k1 = ((gd[..., 0] + 1) + ((gd[..., 1] + 1) << 10)
+          + ((gd[..., 2] + 1) << 20))
+    b16 = 1 << jnp.arange(16, dtype=jnp.int32)
+    k2 = jnp.sum(nb[..., :16] * b16, axis=-1, dtype=jnp.int32)
+    b17 = 1 << jnp.arange(17, dtype=jnp.int32)
+    k3 = jnp.sum(nb[..., 16:33] * b17, axis=-1, dtype=jnp.int32)
+    k1 = jnp.where(rep_valid, k1, jnp.int32(BIGKEY))
+    rows = jnp.broadcast_to(rows0[None], k1.shape)
+    return (k1.reshape(-1), k2.reshape(-1), k3.reshape(-1),
+            rows.reshape(-1))
 
 
 def _corner_points(e0, e1):
@@ -484,25 +520,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         big = jnp.int32(2 ** 30)
 
-        def _keys(cols0, zrank0, off0, valid0, kz0, P, kmax, rows0):
-            p = jnp.arange(P, dtype=jnp.int32)[:, None, None]
-            bit = (p >> jnp.clip(zrank0, 0, kmax - 1)[None]) & 1
-            sub = jnp.where(bit > 0, 1, -1)
-            vals = jnp.where((cols0 == 0)[None], sub, cols0[None])
-            gd = (vals[:, :, :D] - 1) // 2 + off0[None]
-            nb = (vals[:, :, D:] + 1) // 2
-            rep_valid = valid0[None, :] & (
-                p[:, :, 0] < (1 << jnp.minimum(kz0, kmax))[None, :])
-            k1 = ((gd[..., 0] + 1) + ((gd[..., 1] + 1) << 10)
-                  + ((gd[..., 2] + 1) << 20))
-            b16 = 1 << jnp.arange(16, dtype=jnp.int32)
-            k2 = jnp.sum(nb[..., :16] * b16, axis=-1, dtype=jnp.int32)
-            b17 = 1 << jnp.arange(17, dtype=jnp.int32)
-            k3 = jnp.sum(nb[..., 16:33] * b17, axis=-1, dtype=jnp.int32)
-            k1 = jnp.where(rep_valid, k1, big)
-            rows = jnp.broadcast_to(rows0[None], k1.shape)
-            return (k1.reshape(-1), k2.reshape(-1), k3.reshape(-1),
-                    rows.reshape(-1))
+        _keys = _expand_keys
 
         cand_rows = jnp.arange(CAND, dtype=jnp.int32)
         tierB = all_valid & (kz > 2)
@@ -629,8 +647,9 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         aliveE = jax.lax.dynamic_update_slice(aliveE, uval, (start_e2,))
         nE3 = nE2 + n_conn
 
+        z = jnp.int32(0)
         hw = jnp.maximum(hw, jnp.stack([
-            n_split, n_hit, n_pairs, n_conn, nV2, nE3, n_b]))
+            n_split, n_hit, n_pairs, n_conn, nV2, nE3, n_b, z, z, z, z]))
         state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw)
         if prune and "prune" not in disable:
             state = _prune(state, idx, eps, keys=(pk1, pk2))
@@ -691,7 +710,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                     disable: frozenset = frozenset(), force: bool = True,
                     stop_before_final: bool = False, lut_k: int = 4,
-                    with_skeleton: bool = False, marks_len: int | None = None):
+                    with_skeleton: bool = False, marks_len: int | None = None,
+                    with_faces: bool = False):
     """One jitted program: 32 hidden insertions + the final-layer insertion +
     the |sdf|<eps skeleton filter (reference subpoly.py:60-74,556-581).
 
@@ -700,13 +720,20 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
     divergence hunting."""
     step, _ = make_step_fn(spec, caps, eps, disable, force, lut_k)
     VCAP, ECAP = caps.vcap, caps.ecap
+    KCAP, WCAP = caps.kcap, caps.wcap
+    # faces-stage capacities (0 = auto-derive from the vertex pool)
+    FVC = caps.fvcap or max(_round_up(VCAP // 4), 16384)
+    RGC = caps.rgcap or _round_up(FVC + FVC // 2)
+    TC = caps.tcap or _round_up(3 * FVC)
+    HBF = caps.hbf or max(_round_up(FVC // 4, 2048), 2048)
     n_hidden_steps = (spec.num_layers - 1) * spec.num_hidden
 
     def _run(params, marks, V0, OUT0, E0, nV0, nE0, ovf0):
         aliveV0 = jnp.arange(VCAP, dtype=jnp.int32) < nV0
         aliveE0 = jnp.arange(ECAP, dtype=jnp.int32) < nE0
         hw0 = jnp.stack([jnp.int32(0)] * 4
-                        + [jnp.int32(nV0), jnp.int32(nE0), jnp.int32(0)])
+                        + [jnp.int32(nV0), jnp.int32(nE0)]
+                        + [jnp.int32(0)] * 5)
         state = State(V0, OUT0, E0, aliveV0, aliveE0, nV0, nE0,
                       ovf0, hw0)
 
@@ -759,7 +786,153 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         elanes, eval_, n_ekeep = _compact_lanes(e_keep, ECAP)
         E = jnp.where(eval_[:, None], new_index[E[elanes]], 0)
 
-        return V, OUT, E, n_used, n_ekeep, ovf, hw, nV_pre, nE
+        if not with_faces:
+            return V, OUT, E, n_used, n_ekeep, ovf, hw, nV_pre, nE
+
+        # ---- faces stage, fused on device (reference subpoly.py:584-652,
+        # geometry.py:455-556): region-group the surviving vertices by sign
+        # vector (final sdf column excluded), lex-order + dedup the region
+        # rows (np.unique semantics), angular-sort each polygon around the
+        # sdf normal at its mean, fan-triangulate.  Output is the triangle
+        # index array - the host no longer pulls OUT or runs any region
+        # bookkeeping.
+        KF = KCAP
+        PREPF = 1 << KF
+        G = WCAP
+
+        fvalid = jnp.arange(FVC, dtype=jnp.int32) < n_used
+        ovf = ovf | jnp.where(n_used > FVC, OVF_F, 0)
+        Vf = jax.lax.slice(V, (0, 0), (FVC, 3))
+        OUTf = jax.lax.slice(OUT, (0, 0), (FVC, R_COLS))
+
+        xu2 = preprocess(spec, Vf)
+        g_mask, g_off = _grid_region_lut(marks, lut, xu2, eps, lut_k)
+        colf = jnp.arange(R_COLS, dtype=jnp.int32)
+        sgn_f = _eps_sign(OUTf, eps)
+        sgn_f = jnp.where(colf[None, :] < R_COLS - 1, sgn_f, 1)
+        allc = jnp.concatenate([g_mask, sgn_f], axis=1)
+        is_zero = allc == 0
+        kzf = is_zero.sum(-1)
+        ovf = ovf | jnp.where((fvalid & (kzf > KF)).any(), OVF_K, 0)
+        zrankf = jnp.cumsum(is_zero.astype(jnp.int32), axis=1) - 1
+        rows_f = jnp.arange(FVC, dtype=jnp.int32)
+        tierBf = fvalid & (kzf > 2)
+        fb_lanes, fb_val, n_fb = _compact_lanes(tierBf, HBF)
+        ovf = ovf | jnp.where(n_fb > HBF, OVF_F, 0)
+        kA1, kA2, kA3, rA = _expand_keys(allc, zrankf, g_off,
+                                         fvalid & ~tierBf, kzf, 4, 2, rows_f)
+        kB1, kB2, kB3, rB = _expand_keys(
+            allc[fb_lanes], zrankf[fb_lanes], g_off[fb_lanes], fb_val,
+            kzf[fb_lanes], PREPF, KF, fb_lanes)
+        k1f = jnp.concatenate([kA1, kB1])
+        k2f = jnp.concatenate([kA2, kB2])
+        k3f = jnp.concatenate([kA3, kB3])
+        rowf = jnp.concatenate([rA, rB])
+
+        sk1, sk2, sk3, srow = jax.lax.sort((k1f, k2f, k3f, rowf), num_keys=3)
+        sval2 = sk1 < BIGKEY
+        nrep = sk1.shape[0]
+        irep = jnp.arange(nrep, dtype=jnp.int32)
+        newrun = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])
+            | (sk3[1:] != sk3[:-1])])
+        rid = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+        n_rg = (newrun & sval2).sum().astype(jnp.int32)
+        ovf = ovf | jnp.where(n_rg > RGC, OVF_F, 0)
+        rids = jnp.where(sval2, rid, RGC)
+
+        # replica order within a region mirrors the host expansion order
+        # (zero-count group, then vertex id; subpoly.py:306-335)
+        r2a, r2kz, r2v = jax.lax.sort(
+            (rids, kzf[srow], srow), num_keys=3)
+        i2 = jnp.arange(nrep, dtype=jnp.int32)
+        nr2 = jnp.concatenate([jnp.ones((1,), bool), r2a[1:] != r2a[:-1]])
+        cnt = jnp.zeros(RGC, jnp.int32).at[rids].add(1, mode="drop")
+        starts = jnp.zeros(RGC, jnp.int32).at[
+            jnp.where(nr2 & (r2a < RGC), r2a, RGC)].max(
+            i2, mode="drop", unique_indices=True)
+        tblidx = starts[:, None] + jnp.arange(G, dtype=jnp.int32)[None, :]
+        tbl = r2v[jnp.clip(tblidx, 0, nrep - 1)]
+        gmask_col = jnp.arange(G, dtype=jnp.int32)[None, :] < cnt[:, None]
+        tbl = jnp.where(gmask_col, tbl, -1)
+        ovf = ovf | jnp.where((cnt > G).any(), OVF_W, 0)
+
+        # region rows in np.unique's lexicographic order, duplicates marked
+        # (subpoly.py:617-620); empty rows sort last
+        lexkeys = tuple(
+            jnp.where(cnt > 0, tbl[:, j], jnp.int32(BIGKEY))
+            for j in range(G)) + (jnp.arange(RGC, dtype=jnp.int32),)
+        sorted_ops = jax.lax.sort(lexkeys, num_keys=G)
+        rord = sorted_ops[-1]
+        tbl_s = tbl[rord]
+        cnt_s = cnt[rord]
+        same_prev = jnp.concatenate([
+            jnp.zeros((1,), bool),
+            jnp.stack([sorted_ops[j][1:] == sorted_ops[j][:-1]
+                       for j in range(G)]).all(0)])
+        keep_rg = (cnt_s >= 3) & ~same_prev & (cnt_s > 0)
+        klanes, kval, n_keep_rg = _compact_lanes(keep_rg, RGC)
+        tblk = jnp.where(kval[:, None], tbl_s[klanes], -1)
+        cntk = jnp.where(kval, cnt_s[klanes], 0)
+
+        # mean point + sdf normal per region (subpoly.py:627-635)
+        safe_tbl = jnp.maximum(tblk, 0)
+        pts = Vf[safe_tbl] * (tblk != -1)[..., None]       # [RGC, G, 3]
+        kdiv = jnp.maximum(cntk, 1)[:, None].astype(jnp.float32)
+        means = pts.sum(1) / kdiv
+        normals = jax.grad(
+            lambda q: net_sdf(spec, params, q).sum())(means)
+
+        # angular sort (geometry.py:483-514 scores, stable descending)
+        u = pts - (pts.sum(-2, keepdims=True) / kdiv[..., None])
+        dcr = jnp.cross(jnp.broadcast_to(u[:, :1], u.shape), u)
+        nrm = jnp.linalg.norm(u, axis=-1)
+        denom = jnp.maximum(nrm[:, :1] * nrm, 1e-8)
+        cosb = (u[:, :1] * u).sum(-1) / denom
+        dn = (dcr @ normals[..., None])[..., 0]
+        score = cosb * ((dn >= 0) * 2.0 - 1.0) + (dn < 0) * 2.0
+        order = jnp.argsort(-score, axis=-1, stable=True)
+        rows_sorted = jnp.take_along_axis(tblk, order, axis=1)
+
+        # duplicate-vid removal keeping the first occurrence in angle order,
+        # then left-compaction (tensor_to_triangle_faces, subpoly.py:700-728)
+        eq = rows_sorted[:, None, :] == rows_sorted[:, :, None]  # [.,i,j]
+        lower = (jnp.arange(G)[:, None] < jnp.arange(G)[None, :])
+        dupm = (eq & lower[None]).any(1)
+        valid3 = (rows_sorted != -1) & ~dupm
+        rank3 = jnp.cumsum(valid3.astype(jnp.int32), axis=1) - 1
+        rkey = jnp.where(valid3, rank3, G)
+        packed = jnp.take_along_axis(
+            rows_sorted, jnp.argsort(rkey, axis=1, stable=True), axis=1)
+        cnt2 = valid3.sum(1).astype(jnp.int32)
+        ntri = jnp.clip(cnt2 - 2, 0, None)
+
+        # fan-triangle slot assignment (same prefix-sum/cummax trick as the
+        # pair stage), winding reversed to outward (faces.py:140-142)
+        cumt = jnp.cumsum(ntri)
+        total_t = cumt[-1]
+        ovf = ovf | jnp.where(total_t > TC, OVF_F, 0)
+        starts_t = cumt - ntri
+        marker_t = jnp.zeros(TC, jnp.int32).at[
+            jnp.where(ntri > 0, starts_t, TC)].max(
+            jnp.arange(RGC, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+        sit = jax.lax.cummax(marker_t)
+        slot_t = jnp.arange(TC, dtype=jnp.int32)
+        ot = slot_t - starts_t[sit]
+        t_valid = slot_t < total_t
+        va_ = packed[sit, 0]
+        vb_ = packed[sit, jnp.clip(ot + 1, 0, G - 1)]
+        vc_ = packed[sit, jnp.clip(ot + 2, 0, G - 1)]
+        tris = jnp.where(t_valid[:, None],
+                         jnp.stack([vc_, vb_, va_], axis=-1), 0)
+
+        hwf = jnp.stack([jnp.int32(0)] * 7
+                        + [n_used, n_fb, n_rg, total_t])
+        hw = jnp.maximum(hw, hwf)
+        return (V, OUT, E, n_used, n_ekeep, ovf, hw, nV_pre, nE,
+                tris, total_t)
 
     if not with_skeleton:
         @jax.jit
@@ -1103,13 +1276,17 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         np.clip((mk_np * LUTN).astype(np.int64), 0, LUTN - 1),
         minlength=LUTN).max()))
 
-    def _memoize_tight(hw, used_caps):
+    def _memoize_tight(hw, used_caps, n_final):
         # memoize *tight* caps from the run's high-water marks rather than
         # whatever the overflow-retry ramp landed on — every padded lane
         # costs real work each step
-        hws, hwh, hwp, hwc, hwv, hwe, hwb = (int(x) for x in np.asarray(hw))
+        (hws, hwh, hwp, hwc, hwv, hwe, hwb,
+         hwfv, hwfb, hwrg, hwt) = (int(x) for x in np.asarray(hw))
         ccap_t = _round_up(int(hws * 1.15), 4096)
         conncap_t = _round_up(int(hwc * 1.15) + 4096)
+        # faces-stage caps: from this run's counts when the fused faces
+        # epilogue ran (hwfv > 0), else seeded from the final vertex count
+        fv = hwfv if hwfv > 0 else n_final
         derived = Caps(
             # pools need headroom for one step's append blocks on top of
             # the high-water (the overflow checks use ECAP-CCAP etc.)
@@ -1121,7 +1298,13 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             kcap=used_caps.kcap, wcap=used_caps.wcap,
             conncap=conncap_t,
             # each tier-B row costs 2^kcap pair-window lanes: keep tight
-            hb=_round_up(int(hwb * 1.3) + 128, 256))
+            hb=_round_up(int(hwb * 1.3) + 128, 256),
+            fvcap=_round_up(int(fv * 1.2) + 4096),
+            rgcap=_round_up(int((hwrg if hwrg > 0 else fv * 1.1) * 1.25)
+                            + 4096),
+            tcap=_round_up(int((hwt if hwt > 0 else fv * 2.2) * 1.2) + 4096),
+            hbf=_round_up(int((hwfb if hwfb > 0 else fv // 3) * 1.3) + 1024,
+                          2048))
         # hysteresis: the high-water marks themselves depend (mildly) on the
         # caps the run used (lazy-compaction trigger points), so re-deriving
         # every run would oscillate, and each oscillation costs a full XLA
@@ -1143,11 +1326,10 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             _persist_caps()
         _evict_stale_programs()
 
-    def _finish(V, OUT, E, nV, nE, nV_pre, nE_pre):
+    def _finish(V, OUT, E, nV, nE, nV_pre, nE_pre, tris=None, n_tris=0):
         n_v = int(nV)
         n_e = int(nE)
         vertices = np.asarray(V[:n_v])
-        outputs = np.asarray(OUT[:n_v])
         edges = np.asarray(E[:n_e]).astype(np.int64)
 
         if verbose:
@@ -1160,35 +1342,61 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             return (np.empty((0, 3, 3), np.float32), vertices,
                     np.empty((0, 3), np.int64))
 
-        faces, tris = extract_faces(vertices, edges, net, outputs, eps)
+        if tris is not None:
+            # faces were assembled on device: pull only the index triples
+            tri_idx = np.asarray(tris[:n_tris]).astype(np.int64)
+            faces = vertices[tri_idx]
+        else:
+            outputs = np.asarray(OUT[:n_v])
+            faces, tri_idx = extract_faces(vertices, edges, net, outputs,
+                                           eps)
         if verbose:
             print(f"{len(faces)} faces", end=", ")
         stats.record(int(nV_pre), int(nE_pre), vertices.shape[0],
                      edges.shape[0], len(faces))
-        return faces, vertices, tris
+        return faces, vertices, tri_idx
 
     # --- steady-state fast path: skeleton + loop fused in ONE program ------
     # (caps already known from a previous run or the persisted cache: one
     # dispatch, no skeleton/pool round trips)
     if caps is not None:
-        fkey = (net.spec, caps, eps, force, lut_k, M, "fused")
-        if fkey not in _EXTRACT_CACHE:
-            _EXTRACT_CACHE[fkey] = make_extract_fn(
-                net.spec, caps, eps, force=force, lut_k=lut_k,
-                with_skeleton=True, marks_len=M)
-        V, OUT, E, nV, nE, ovf, hw, nV_pre, nE_pre = _EXTRACT_CACHE[fkey](
-            net.params, net.marks)
-        ovf = int(ovf)
-        if ovf & OVF_X:
-            raise RuntimeError(
-                "curved split edge lies on no earlier plane (reference "
-                "invariant subpoly.py:141-148); extraction aborted")
-        if ovf == 0 and int(nE_pre) > 0:
-            _memoize_tight(hw, caps)
-            return _finish(V, OUT, E, nV, nE, nV_pre, nE_pre)
-        if verbose:
-            print(f"[device-extract] fused path overflow mask {ovf}; "
-                  "falling back to the ramp")
+        import dataclasses
+
+        for _fa in range(3):
+            fkey = (net.spec, caps, eps, force, lut_k, M, "fused")
+            if fkey not in _EXTRACT_CACHE:
+                _EXTRACT_CACHE[fkey] = make_extract_fn(
+                    net.spec, caps, eps, force=force, lut_k=lut_k,
+                    with_skeleton=True, marks_len=M, with_faces=True)
+            (V, OUT, E, nV, nE, ovf, hw, nV_pre, nE_pre,
+             tris, n_tris) = _EXTRACT_CACHE[fkey](net.params, net.marks)
+            ovf = int(ovf)
+            if ovf & OVF_X:
+                raise RuntimeError(
+                    "curved split edge lies on no earlier plane (reference "
+                    "invariant subpoly.py:141-148); extraction aborted")
+            if ovf == 0 and int(nE_pre) > 0:
+                _memoize_tight(hw, caps, int(nV))
+                return _finish(V, OUT, E, nV, nE, nV_pre, nE_pre,
+                               tris=tris, n_tris=int(n_tris))
+            if ovf == OVF_F or ovf == (OVF_F | OVF_W):
+                # faces-stage-only capacity miss: grow just those buffers
+                # and retry the fused program (the loop itself was fine)
+                caps = dataclasses.replace(
+                    caps,
+                    fvcap=(caps.fvcap or _round_up(caps.vcap // 4)) * 2,
+                    rgcap=(caps.rgcap or _round_up(caps.vcap // 3)) * 2,
+                    tcap=(caps.tcap or _round_up(caps.vcap)) * 2,
+                    hbf=(caps.hbf or 2048) * 2,
+                    wcap=caps.wcap * (2 if ovf & OVF_W else 1))
+                if verbose:
+                    print(f"[device-extract] faces overflow; retry {caps}")
+                continue
+            break
+        if ovf != 0 or int(nE_pre) == 0:
+            if verbose:
+                print(f"[device-extract] fused path overflow mask {ovf}; "
+                      "falling back to the ramp")
 
     # --- initial skeleton, fully on device with its own (SV, SE) caps ------
     # (decoupled from the loop caps so no host round-trip of the lattice is
@@ -1264,7 +1472,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 "curved split edge lies on no earlier plane (reference "
                 "invariant subpoly.py:141-148); extraction aborted")
         if ovf == 0:
-            _memoize_tight(hw, caps)
+            _memoize_tight(hw, caps, int(nV))
             break
         # root-cause retry: once a capacity buffer overflows, the dynamics
         # downstream are garbage and every later flag is noise — grow only
