@@ -44,13 +44,14 @@ def _device_skeleton(net):
     Op[:V0.shape[0]] = out0
     Ep = np.zeros((caps.ecap, 2), np.int32)
     Ep[:E0.shape[0]] = E0
-    V, OUT, E, nV, nE, ovf, hw, nV_pre, nE_pre = extract(
+    V, OUT, E, _tris, meta = extract(
         net.params, net.marks, Vp, Op, Ep,
         np.int32(V0.shape[0]), np.int32(E0.shape[0]))
-    assert int(ovf) == 0, f"capacity overflow mask {int(ovf)}"
-    n_v, n_e = int(nV), int(nE)
+    m = np.asarray(meta)
+    n_v, n_e, ovf, nV_pre, nE_pre = (int(x) for x in m[:5])
+    assert ovf == 0, f"capacity overflow mask {ovf}"
     return (np.asarray(V[:n_v]), np.asarray(E[:n_e]).astype(np.int64),
-            (int(nV_pre), int(nE_pre)))
+            (nV_pre, nE_pre))
 
 
 def test_device_matches_host(trained_net):

@@ -787,7 +787,12 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         E = jnp.where(eval_[:, None], new_index[E[elanes]], 0)
 
         if not with_faces:
-            return V, OUT, E, n_used, n_ekeep, ovf, hw, nV_pre, nE
+            # all control scalars in ONE vector: each separate int() pull
+            # costs a ~25 ms tunnel round trip
+            meta = jnp.concatenate([
+                jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE,
+                           jnp.int32(0)]), hw])
+            return V, OUT, E, jnp.zeros((0, 3), jnp.int32), meta
 
         # ---- faces stage, fused on device (reference subpoly.py:584-652,
         # geometry.py:455-556): region-group the surviving vertices by sign
@@ -931,8 +936,9 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         hwf = jnp.stack([jnp.int32(0)] * 7
                         + [n_used, n_fb, n_rg, total_t])
         hw = jnp.maximum(hw, hwf)
-        return (V, OUT, E, n_used, n_ekeep, ovf, hw, nV_pre, nE,
-                tris, total_t)
+        meta = jnp.concatenate([
+            jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE, total_t]), hw])
+        return V, OUT, E, tris, meta
 
     if not with_skeleton:
         @jax.jit
@@ -1368,17 +1374,19 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 _EXTRACT_CACHE[fkey] = make_extract_fn(
                     net.spec, caps, eps, force=force, lut_k=lut_k,
                     with_skeleton=True, marks_len=M, with_faces=True)
-            (V, OUT, E, nV, nE, ovf, hw, nV_pre, nE_pre,
-             tris, n_tris) = _EXTRACT_CACHE[fkey](net.params, net.marks)
-            ovf = int(ovf)
+            V, OUT, E, tris, meta = _EXTRACT_CACHE[fkey](
+                net.params, net.marks)
+            m = np.asarray(meta)
+            nV, nE, ovf, nV_pre, nE_pre, n_tris = (int(x) for x in m[:6])
+            hw = m[6:]
             if ovf & OVF_X:
                 raise RuntimeError(
                     "curved split edge lies on no earlier plane (reference "
                     "invariant subpoly.py:141-148); extraction aborted")
-            if ovf == 0 and int(nE_pre) > 0:
-                _memoize_tight(hw, caps, int(nV))
+            if ovf == 0 and nE_pre > 0:
+                _memoize_tight(hw, caps, nV)
                 return _finish(V, OUT, E, nV, nE, nV_pre, nE_pre,
-                               tris=tris, n_tris=int(n_tris))
+                               tris=tris, n_tris=n_tris)
             if ovf == OVF_F or ovf == (OVF_F | OVF_W):
                 # faces-stage-only capacity miss: grow just those buffers
                 # and retry the fused program (the loop itself was fine)
@@ -1393,7 +1401,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                     print(f"[device-extract] faces overflow; retry {caps}")
                 continue
             break
-        if ovf != 0 or int(nE_pre) == 0:
+        if ovf != 0 or nE_pre == 0:
             if verbose:
                 print(f"[device-extract] fused path overflow mask {ovf}; "
                       "falling back to the ramp")
@@ -1461,9 +1469,12 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                                                   force=force, lut_k=lut_k)
         extract = _EXTRACT_CACHE[key]
 
-        V, OUT, E, nV, nE, ovf, hw, nV_pre, nE_pre = extract(
+        V, OUT, E, _tris0, meta = extract(
             net.params, net.marks, Vp, Op, Ep, nV0, nE0)
-        ovf = int(ovf) | ovf_s
+        m = np.asarray(meta)
+        nV, nE, ovf, nV_pre, nE_pre, _ = (int(x) for x in m[:6])
+        hw = m[6:]
+        ovf = ovf | ovf_s
         if ovf & OVF_X:
             # invariant violation, not a capacity problem: a curved split
             # edge lies on no earlier plane (the reference hard-exits here,
@@ -1472,7 +1483,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 "curved split edge lies on no earlier plane (reference "
                 "invariant subpoly.py:141-148); extraction aborted")
         if ovf == 0:
-            _memoize_tight(hw, caps, int(nV))
+            _memoize_tight(hw, caps, nV)
             break
         # root-cause retry: once a capacity buffer overflows, the dynamics
         # downstream are garbage and every later flag is noise — grow only
