@@ -277,8 +277,25 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         cand_v = v0 * (1 - wgt[:, None]) + v1 * wgt[:, None]
 
         col = jnp.arange(R_COLS, dtype=jnp.int32)[None, :]
-        sgn0 = _eps_sign(OUT[ce0], eps)
-        sgn1 = _eps_sign(OUT[ce1], eps)
+        # shared zero-plane bits of each split edge's endpoints.  Only the
+        # ZERO masks of the gathered OUT rows are ever used (override mask +
+        # curved-branch plane lookup), so pack per-vertex zero words with an
+        # elementwise pool pass (vector-unit speed) and gather 2 words per
+        # endpoint instead of 33 floats — the row gathers were ~6M gathered
+        # elements per busy step at medium scale.
+        zwv = (jnp.abs(OUT) <= eps)                       # [VCAP, R] elemwise
+        zbit = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+        zlo = jnp.sum(zwv[:, :32].astype(jnp.uint32) * zbit[None, :],
+                      axis=1, dtype=jnp.uint32)
+        zhi = zwv[:, 32].astype(jnp.uint32)
+        both_lo = zlo[ce0] & zlo[ce1]
+        both_hi = zhi[ce0] & zhi[ce1]
+        colu = jnp.arange(R_COLS, dtype=jnp.uint32)[None, :]
+        # [CCAP, R] bool: column is eps-zero at BOTH endpoints
+        both_zero_col = jnp.where(
+            col < 32,
+            ((both_lo[:, None] >> jnp.minimum(colu, 31)) & 1) > 0,
+            (both_hi[:, None] & 1) > 0)
 
         if not force:
             # --- 3b. bi-/tri-linear correction (subpoly.py:120-183) ------------
@@ -290,7 +307,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             # the earlier plane each curved edge lies on: last shared zero
             # column below idx (subpoly.py:131-151; reference exits when a
             # curved edge lies on no earlier plane — flagged here instead)
-            r_edges = (sgn0 == 0) & (sgn1 == 0) & (col < idx)
+            r_edges = both_zero_col & (col < idx)
             has_plane = r_edges.any(-1)
             # a curved split edge lying on NO earlier plane breaks the
             # reference's invariant (it hard-exits, subpoly.py:141-148);
@@ -376,7 +393,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         # --- 5. sign-override failover (subpoly_debug.py:33-51) ---------------
         if "override" not in disable:
-            b = ((sgn0 == 0) & (sgn1 == 0) & (col < idx)) | (col == idx)
+            b = (both_zero_col & (col < idx)) | (col == idx)
             viol = (cval[:, None] & b & (jnp.abs(cand_out) > eps)).any()
             cand_out = jnp.where(viol & b, 0.0, cand_out)
 
