@@ -110,3 +110,43 @@ def test_slab_skeleton_matches_single_block(trained_net):
     np.testing.assert_array_equal(np.asarray(Vs[:n_v]), np.asarray(Vb[:n_v]))
     np.testing.assert_allclose(np.asarray(Os[:n_v]), np.asarray(Ob[:n_v]),
                                atol=1e-5)
+
+
+def test_two_tier_dispatch_parity(trained_net):
+    """Force a caps configuration large enough to enable the two-tier busy
+    dispatcher; every busy step of the tiny fixture then runs the SMALL-tier
+    pipeline, which must reproduce the single-tier result exactly."""
+    import jax.numpy as jnp
+
+    from tropical.extract.device import Caps, default_caps, make_extract_fn
+    from tropical.extract.skeleton import grid_skeleton
+
+    net = trained_net
+    V0, E0 = grid_skeleton(net)
+    out0 = np.asarray(net.outputs(jnp.asarray(V0)))
+    base = default_caps(V0.shape[0], E0.shape[0])
+    assert base.ccap < 32768  # fixture is small: single-tier by default
+    import dataclasses
+    big = dataclasses.replace(base, ccap=32768, pcap=max(base.pcap, 327680),
+                              vcap=base.vcap + 8 * 32768,
+                              ecap=base.ecap + 8 * 32768)
+
+    def run(caps):
+        extract = make_extract_fn(net.spec, caps, 1e-4)
+        Vp = np.zeros((caps.vcap, 3), np.float32)
+        Vp[:V0.shape[0]] = V0
+        Op = np.zeros((caps.vcap, 33), np.float32)
+        Op[:V0.shape[0]] = out0
+        Ep = np.zeros((caps.ecap, 2), np.int32)
+        Ep[:E0.shape[0]] = E0
+        V, OUT, E, _t, meta = extract(
+            net.params, net.marks, Vp, Op, Ep,
+            np.int32(V0.shape[0]), np.int32(E0.shape[0]))
+        m = np.asarray(meta)
+        assert int(m[2]) == 0, f"overflow {int(m[2])}"
+        return np.asarray(V[:int(m[0])]), np.asarray(E[:int(m[1])])
+
+    V1, E1 = run(base)   # single tier
+    V2, E2 = run(big)    # two-tier dispatcher, small tier taken
+    np.testing.assert_array_equal(E1, E2)
+    np.testing.assert_allclose(V1, V2, atol=0)

@@ -236,11 +236,25 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
     PREP = 1 << KCAP
     CAND = CCAP + HCAP
 
+    HB_BIG = caps.hb or max(HCAP, CCAP // 8)
+    TIER_BIG = (CCAP, HCAP, PCAP, caps.conncap, HB_BIG)
+    # a small tier pays off only when the big buffers are large (and its
+    # second compiled pipeline is worth the compile time)
+    two_tier = CCAP >= 32768
+    if two_tier:
+        CCAP_S = max(_round_up(CCAP // 8, 4096), 4096)
+        HCAP_S = max(_round_up(HCAP // 2, 2048), 2048)
+        TIER_SMALL = (CCAP_S, HCAP_S,
+                      max(_round_up(PCAP // 8), 16384),
+                      max(_round_up(caps.conncap // 8, 4096), 4096),
+                      max(_round_up(HB_BIG // 8, 256), 256))
+
     def step(params, marks, lut, state: State, idx, prune: bool) -> State:
         """One insertion.  Steps whose plane splits no edge return unchanged
         (reference subpoly.py:110-111) — in practice ~2/3 of all steps — via
         lax.cond, so idle steps cost one gather pass instead of the full
-        pipeline."""
+        pipeline.  Busy steps dispatch to a small- or big-tier pipeline by
+        live candidate counts."""
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
         # --- 1. sign-change split mask (reference subpoly.py:102-105) -------
@@ -250,15 +264,47 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         split = aliveE & ((d0 * d1) < 0) \
             & (jnp.abs(d0) > eps) & (jnp.abs(d1) > eps)
 
-        return jax.lax.cond(
-            split.any(),
-            lambda st: _busy_step(params, marks, lut, st, idx, prune,
-                                  outcol, d0, d1, split),
+        if not two_tier:
+            return jax.lax.cond(
+                split.any(),
+                lambda st: _busy_step(params, marks, lut, TIER_BIG, st, idx,
+                                      prune, outcol, d0, d1, split),
+                lambda st: st,
+                state)
+
+        n_split = split.sum().astype(jnp.int32)
+        n_he = (aliveE & ((jnp.abs(d0) < eps) | (jnp.abs(d1) < eps))) \
+            .sum().astype(jnp.int32)
+        pred_small = (n_split > 0) & (n_split <= TIER_SMALL[0]) \
+            & (n_he <= 4 * TIER_SMALL[1])
+        st1 = jax.lax.cond(
+            pred_small,
+            lambda st: _busy_step(params, marks, lut, TIER_SMALL, st, idx,
+                                  prune, outcol, d0, d1, split),
             lambda st: st,
             state)
+        # a small-tier capacity miss (pairs/conn/tier-B are only known
+        # mid-pipeline) reruns the step on the big tier from the saved
+        # pre-state; the high-water marks it recorded are true counts, so
+        # they stay valid
+        small_failed = pred_small & (st1.overflow != ovf)
+        pred_big = ((n_split > 0) & ~pred_small) | small_failed
+        return jax.lax.cond(
+            pred_big,
+            lambda pair: _busy_step(params, marks, lut, TIER_BIG, pair[0],
+                                    idx, prune, outcol, d0, d1, split),
+            lambda pair: pair[1],
+            (state, st1))
 
-    def _busy_step(params, marks, lut, state: State, idx, prune: bool,
-                   outcol, d0, d1, split) -> State:
+    def _busy_step(params, marks, lut, tier, state: State, idx,
+                   prune: bool, outcol, d0, d1, split) -> State:
+        # per-tier candidate capacities: late insertions split a fraction of
+        # the peak step's edges, so a small-tier pipeline (1/8 buffers) runs
+        # most busy steps at a fraction of the gather/sort cost; the
+        # dispatcher falls back to the big tier if a small-tier buffer
+        # overflows (reference semantics are cap-independent)
+        CCAP, HCAP, PCAP, CONNCAP, HB = tier
+        CAND = CCAP + HCAP
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
         # --- 2. compact split edges into the candidate block -----------------
@@ -544,7 +590,6 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         kA1, kA2, kA3, rA = _keys(allcols, zrank, cand_o,
                                   all_valid & ~tierB, kz, 4, 2, cand_rows)
 
-        HB = caps.hb or max(HCAP, CCAP // 8)
         blanes, bval, n_b = _compact_lanes(tierB, HB)
         ovf = ovf | jnp.where(n_b > HB, OVF_B, 0)
         kB1, kB2, kB3, rB = _keys(allcols[blanes], zrank[blanes],
@@ -653,7 +698,6 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             uniq = uniq & (
                 (pk1[jnp.minimum(slo, VCAP - 1)] != pk1[jnp.minimum(shi, VCAP - 1)])
                 | (pk2[jnp.minimum(slo, VCAP - 1)] != pk2[jnp.minimum(shi, VCAP - 1)]))
-        CONNCAP = caps.conncap  # conn edges can outnumber splits
         ulanes, uval, n_conn = _compact_lanes(uniq, CONNCAP)
         ovf = ovf | jnp.where(n_conn > CONNCAP, OVF_P, 0)
         c_app = jnp.stack([jnp.where(uval, slo[ulanes], 0),
