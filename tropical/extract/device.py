@@ -204,6 +204,51 @@ def _expand_keys(cols0, zrank0, off0, valid0, kz0, P, kmax, rows0):
             rows.reshape(-1))
 
 
+def _expand4_keys(cols0, off0, valid0, kz0, rows0):
+    """Tier-A (kz <= 2) replica keys WITHOUT materializing the [4, N, C]
+    substitution grid of :func:`_expand_keys`: the all-minus base key plus
+    per-zero-rank column deltas reproduce the same four replicas with ~16x
+    less memory traffic (the grid was the dominant HBM cost of the
+    expansion stage at large scale).  Layout and key values are identical
+    to ``_expand_keys(..., P=4, kmax=2, ...)``."""
+    is_zero = cols0 == 0
+    vals = jnp.where(is_zero, -1, cols0)
+    gd = (vals[:, :D] - 1) // 2 + off0
+    nb = (vals[:, D:] + 1) // 2
+    k1b = (gd[:, 0] + 1) + ((gd[:, 1] + 1) << 10) + ((gd[:, 2] + 1) << 20)
+    b16 = 1 << jnp.arange(16, dtype=jnp.int32)
+    k2b = jnp.sum(nb[:, :16] * b16, axis=-1, dtype=jnp.int32)
+    b17 = 1 << jnp.arange(17, dtype=jnp.int32)
+    k3b = jnp.sum(nb[:, 16:33] * b17, axis=-1, dtype=jnp.int32)
+
+    cz = jnp.cumsum(is_zero.astype(jnp.int32), axis=1)
+    col0 = jnp.argmax(is_zero & (cz == 1), axis=1).astype(jnp.int32)
+    col1 = jnp.argmax(is_zero & (cz == 2), axis=1).astype(jnp.int32)
+
+    def _deltas(c):
+        is_grid = c < D
+        j = c - D
+        d1 = jnp.where(is_grid, 1 << (10 * jnp.minimum(c, 2)), 0)
+        d2 = jnp.where(~is_grid & (j < 16), 1 << jnp.clip(j, 0, 15), 0)
+        d3 = jnp.where(~is_grid & (j >= 16), 1 << jnp.clip(j - 16, 0, 16), 0)
+        return d1, d2, d3
+
+    a1, a2, a3 = _deltas(col0)
+    c1, c2, c3 = _deltas(col1)
+    pow2kz = 1 << jnp.minimum(kz0, 2)
+    k1s, k2s, k3s = [], [], []
+    for p in range(4):
+        f0 = p & 1
+        f1 = (p >> 1) & 1
+        rep_valid = valid0 & (p < pow2kz)
+        k1s.append(jnp.where(rep_valid, k1b + f0 * a1 + f1 * c1,
+                             jnp.int32(BIGKEY)))
+        k2s.append(k2b + f0 * a2 + f1 * c2)
+        k3s.append(k3b + f0 * a3 + f1 * c3)
+    return (jnp.concatenate(k1s), jnp.concatenate(k2s),
+            jnp.concatenate(k3s), jnp.tile(rows0, 4))
+
+
 def _corner_points(e0, e1):
     """[B,3] x2 endpoint coords -> [B, 8, 3] cube corners, z-major bit order
     idx = 4i + 2j + k -> (x_k, y_j, z_i) (reference geometry.py:350-372)."""
@@ -587,8 +632,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         cand_rows = jnp.arange(CAND, dtype=jnp.int32)
         tierB = all_valid & (kz > 2)
-        kA1, kA2, kA3, rA = _keys(allcols, zrank, cand_o,
-                                  all_valid & ~tierB, kz, 4, 2, cand_rows)
+        kA1, kA2, kA3, rA = _expand4_keys(allcols, cand_o,
+                                          all_valid & ~tierB, kz, cand_rows)
 
         blanes, bval, n_b = _compact_lanes(tierB, HB)
         ovf = ovf | jnp.where(n_b > HB, OVF_B, 0)
@@ -885,8 +930,8 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         tierBf = fvalid & (kzf > 2)
         fb_lanes, fb_val, n_fb = _compact_lanes(tierBf, HBF)
         ovf = ovf | jnp.where(n_fb > HBF, OVF_F, 0)
-        kA1, kA2, kA3, rA = _expand_keys(allc, zrankf, g_off,
-                                         fvalid & ~tierBf, kzf, 4, 2, rows_f)
+        kA1, kA2, kA3, rA = _expand4_keys(allc, g_off,
+                                          fvalid & ~tierBf, kzf, rows_f)
         kB1, kB2, kB3, rB = _expand_keys(
             allc[fb_lanes], zrankf[fb_lanes], g_off[fb_lanes], fb_val,
             kzf[fb_lanes], PREPF, KF, fb_lanes)
