@@ -969,19 +969,30 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         tbl = jnp.where(gmask_col, tbl, -1)
         ovf = ovf | jnp.where((cnt > G).any(), OVF_W, 0)
 
-        # region rows in np.unique's lexicographic order, duplicates marked
-        # (subpoly.py:617-620); empty rows sort last
-        lexkeys = tuple(
-            jnp.where(cnt > 0, tbl[:, j], jnp.int32(BIGKEY))
-            for j in range(G)) + (jnp.arange(RGC, dtype=jnp.int32),)
-        sorted_ops = jax.lax.sort(lexkeys, num_keys=G)
+        # deterministic region ordering + duplicate-row removal
+        # (np.unique semantics, subpoly.py:617-620).  A full G-operand
+        # lexicographic sort makes the TPU backend's variadic-sort
+        # comparator explode at compile time (hours remotely), so sort by a
+        # compact 7-key prefix (first four vids + count + sum + xor) that
+        # puts identical rows adjacent, then exact-compare adjacent rows
+        # across all G columns.  Region ORDER therefore differs from the
+        # host's np.unique lex order (triangle ordering only; content is
+        # deduplicated exactly).
+        guard = jnp.where(cnt > 0, 0, jnp.int32(BIGKEY))
+        tmask = tbl != -1
+        tsum = jnp.sum(jnp.where(tmask, tbl, 0), axis=1, dtype=jnp.int32)
+        txor = tbl[:, 0] ^ tbl[:, 1]
+        for j in range(2, G):
+            txor = txor ^ tbl[:, j]
+        lexkeys = (guard, tbl[:, 0], tbl[:, 1], tbl[:, 2], tbl[:, 3],
+                   cnt, tsum, txor, jnp.arange(RGC, dtype=jnp.int32))
+        sorted_ops = jax.lax.sort(lexkeys, num_keys=8)
         rord = sorted_ops[-1]
         tbl_s = tbl[rord]
         cnt_s = cnt[rord]
         same_prev = jnp.concatenate([
             jnp.zeros((1,), bool),
-            jnp.stack([sorted_ops[j][1:] == sorted_ops[j][:-1]
-                       for j in range(G)]).all(0)])
+            (tbl_s[1:] == tbl_s[:-1]).all(-1)])
         keep_rg = (cnt_s >= 3) & ~same_prev & (cnt_s > 0)
         klanes, kval, n_keep_rg = _compact_lanes(keep_rg, RGC)
         tblk = jnp.where(kval[:, None], tbl_s[klanes], -1)
