@@ -1018,11 +1018,21 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         rows_sorted = jnp.take_along_axis(tblk, order, axis=1)
 
         # duplicate-vid removal keeping the first occurrence in angle order,
-        # then left-compaction (tensor_to_triangle_faces, subpoly.py:700-728)
-        eq = rows_sorted[:, None, :] == rows_sorted[:, :, None]  # [.,i,j]
-        lower = (jnp.arange(G)[:, None] < jnp.arange(G)[None, :])
-        dupm = (eq & lower[None]).any(1)
-        valid3 = (rows_sorted != -1) & ~dupm
+        # then left-compaction (tensor_to_triangle_faces, subpoly.py:700-728).
+        # No [RGC, G, G] comparison matrix (1+ GB at large-preset region
+        # counts): sort each row by (vid, angle-pos), flag adjacent repeats,
+        # and sort back by angle-pos carrying the flag.
+        posg = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[None, :],
+                                rows_sorted.shape)
+        vkey = jnp.where(rows_sorted == -1, jnp.int32(BIGKEY), rows_sorted)
+        svid, spos = jax.lax.sort((vkey, posg), dimension=-1, num_keys=2)
+        dup_sorted = jnp.concatenate([
+            jnp.zeros(svid[:, :1].shape, jnp.int32),
+            ((svid[:, 1:] == svid[:, :-1]) & (svid[:, 1:] < BIGKEY))
+            .astype(jnp.int32)], axis=1)
+        _, dup_back = jax.lax.sort((spos, dup_sorted), dimension=-1,
+                                   num_keys=1)
+        valid3 = (rows_sorted != -1) & (dup_back == 0)
         rank3 = jnp.cumsum(valid3.astype(jnp.int32), axis=1) - 1
         rkey = jnp.where(valid3, rank3, G)
         packed = jnp.take_along_axis(
@@ -1491,8 +1501,16 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 _EXTRACT_CACHE[fkey] = make_extract_fn(
                     net.spec, caps, eps, force=force, lut_k=lut_k,
                     with_skeleton=True, marks_len=M, with_faces=True)
-            V, OUT, E, tris, meta = _EXTRACT_CACHE[fkey](
-                net.params, net.marks)
+            try:
+                V, OUT, E, tris, meta = _EXTRACT_CACHE[fkey](
+                    net.params, net.marks)
+            except Exception as e:  # remote compile OOM etc.: ramp fallback
+                if verbose:
+                    print(f"[device-extract] fused path failed "
+                          f"({type(e).__name__}); falling back to the ramp")
+                _EXTRACT_CACHE.pop(fkey, None)
+                ovf, nE_pre = -1, -1
+                break
             m = np.asarray(meta)
             nV, nE, ovf, nV_pre, nE_pre, n_tris = (int(x) for x in m[:6])
             hw = m[6:]
