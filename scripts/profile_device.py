@@ -58,9 +58,10 @@ from tropical.utils import checkpoint as ckpt
 
 
 def get_net(size: str):
-    r_max = {"small": 32, "medium": 64}[size]
-    net = Net(num_layers=3, num_hidden=16, levels=4, r_min=2 if size == "small"
-              else 4, r_max=r_max, T=19, key=jax.random.PRNGKey(1))
+    r_min, r_max = {"small": (2, 32), "medium": (4, 64),
+                    "large": (8, 128)}[size]
+    net = Net(num_layers=3, num_hidden=16, levels=4, r_min=r_min,
+              r_max=r_max, T=19, key=jax.random.PRNGKey(1))
     path = f"tropical/stanford/models/sphere/sphere_sdf_{size}_1.pth"
     found = ckpt.find_checkpoint(path)
     assert found, path
