@@ -708,24 +708,17 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         cpb = srow[jnp.clip(si - off, 0, nrep_sz - 1)]
 
         # --- 11. shared-plane filter (subpoly.py:524-533), on packed words -----
-        # one row-gather of (zs, go, vid) per pair side instead of three
-        # scattered single-column gathers (contiguous 12-byte rows gather
-        # several times faster per element)
-        pairinfo = jnp.stack([zs.astype(jnp.int32), go.astype(jnp.int32),
-                              all_vid], axis=1)            # [CAND, 3]
-        pa_row = pairinfo[cpa]
-        pb_row = pairinfo[cpb]
-        zs_ab = pa_row[:, 0].astype(jnp.uint32) & pb_row[:, 0].astype(jnp.uint32)
-        go_a = pa_row[:, 1].astype(jnp.uint32)
-        go_b = pb_row[:, 1].astype(jnp.uint32)
+        zs_ab = zs[cpa] & zs[cpb]
+        go_a = go[cpa]
+        go_b = go[cpb]
         shared = jax.lax.population_count(zs_ab).astype(jnp.int32)
         both_zero = (go_a >> 27) & (go_b >> 27)                  # 3-bit mask
         for dax in range(D):
             off_eq = ((go_a ^ go_b) >> (9 * dax)) & jnp.uint32(511)
             shared = shared + jnp.where(
                 ((both_zero >> dax) & 1 > 0) & (off_eq == 0), 1, 0)
-        va = pa_row[:, 2]
-        vb = pb_row[:, 2]
+        va = all_vid[cpa]
+        vb = all_vid[cpb]
         keep_pair = p_valid & (shared >= 1) & (va != vb)
 
         if "dedup" in disable:  # profiling cut: stop before the dedup sort
@@ -788,10 +781,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         else:
             k1, k2 = keys
 
-        kk = jnp.stack([k1, k2], axis=1)      # row-gather both keys at once
-        ka = kk[E[:, 0]]
-        kb = kk[E[:, 1]]
-        differ = (ka != kb).any(-1)
+        differ = (k1[E[:, 0]] != k1[E[:, 1]]) | (k2[E[:, 0]] != k2[E[:, 1]])
         keep = aliveE & differ
 
         # compact surviving edges to the prefix (order-preserving, sort-free)
