@@ -1512,8 +1512,10 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                     net.params, net.marks)
             except Exception as e:  # remote compile OOM etc.: ramp fallback
                 if verbose:
+                    msg = str(e).splitlines()[0][:200] if str(e) else ""
                     print(f"[device-extract] fused path failed "
-                          f"({type(e).__name__}); falling back to the ramp")
+                          f"({type(e).__name__}: {msg}); falling back "
+                          "to the ramp")
                 _EXTRACT_CACHE.pop(fkey, None)
                 ovf, nE_pre = -1, -1
                 break
