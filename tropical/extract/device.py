@@ -573,8 +573,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         h1 = jnp.abs(d1) < eps
         he = aliveE_pre & (h0 | h1)
         HE = 4 * HCAP  # hit vertices appear once per incident edge
-        helanes, heval, n_he = _compact_lanes(he, HE)
-        ovf = ovf | jnp.where(n_he > HE, OVF_H, 0)
+        helanes, heval, n_he_busy = _compact_lanes(he, HE)
+        ovf = ovf | jnp.where(n_he_busy > HE, OVF_H, 0)
         ids0 = jnp.where(heval & h0[helanes], e0_col[helanes], VCAP)
         ids1 = jnp.where(heval & h1[helanes], e1_col[helanes], VCAP)
         sids = jax.lax.sort(jnp.concatenate([ids0, ids1]))
@@ -754,8 +754,12 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         nE3 = nE2 + n_conn
 
         z = jnp.int32(0)
+        # the hit slot must cover BOTH caps it sizes: HCAP (unique hits) and
+        # HE = 4*HCAP (hit-edge scan, pre-dedup) — recording only n_hit made
+        # re-derived caps overflow on the next run
+        hit_need = jnp.maximum(n_hit, -(-n_he_busy // 4))
         hw = jnp.maximum(hw, jnp.stack([
-            n_split, n_hit, n_pairs, n_conn, nV2, nE3, n_b, z, z, z, z]))
+            n_split, hit_need, n_pairs, n_conn, nV2, nE3, n_b, z, z, z, z]))
         state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw)
         if prune and "prune" not in disable:
             state = _prune(state, idx, eps, keys=(pk1, pk2))
