@@ -1293,6 +1293,9 @@ def default_caps(n_vertices: int, n_edges: int) -> Caps:
 
 
 _EXTRACT_CACHE: dict = {}
+# fused programs whose compile failed (e.g. HBM exhaustion at very large
+# caps): skip further attempts — each failed remote compile costs minutes
+_FUSED_BROKEN: set = set()
 # caps that succeeded for a (spec, problem-size bucket): subsequent
 # extractions skip the overflow-retry ramp entirely
 _GOOD_CAPS: dict = {}
@@ -1507,6 +1510,9 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
 
         for _fa in range(3):
             fkey = (net.spec, caps, eps, force, lut_k, M, "fused")
+            if fkey in _FUSED_BROKEN:
+                ovf, nE_pre = -1, -1
+                break
             if fkey not in _EXTRACT_CACHE:
                 _EXTRACT_CACHE[fkey] = make_extract_fn(
                     net.spec, caps, eps, force=force, lut_k=lut_k,
@@ -1521,6 +1527,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                           f"({type(e).__name__}: {msg}); falling back "
                           "to the ramp")
                 _EXTRACT_CACHE.pop(fkey, None)
+                _FUSED_BROKEN.add(fkey)
                 ovf, nE_pre = -1, -1
                 break
             m = np.asarray(meta)
