@@ -431,43 +431,54 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                 outs_cv, jnp.broadcast_to(idx, (CCAP,))[:, None], 1)[:, 0]
 
             # projected-GD rescue of off-surface intersections
-            # (subpoly_debug.py:121-165): all active rows step together until
-            # the max residual converges, exactly like the reference
+            # (subpoly_debug.py:121-165): rescued rows are typically a few
+            # percent of the candidates, but each loop iteration paid a
+            # full-CCAP forward+grad.  Compact them into a CCAP/4 buffer
+            # first (per-row updates are independent, so the compacted loop
+            # is row-for-row identical), then scatter results back.
             gd = curved & ~gg & ((jnp.abs(d_new0) > eps)
                                  | (jnp.abs(d_new1) > eps))
+            GDC = max(CCAP // 4, 1024)
+            glanes, gval, n_gd = _compact_lanes(gd, GDC)
+            ovf = ovf | jnp.where(n_gd > GDC, OVF_C, 0)
+            ge0 = e0w[glanes]
+            ge1 = ge0 + jnp.where(gval[:, None], (e1w - e0w)[glanes], 0.0)
+            g_inds = inds[glanes]
+            gx0 = ints[glanes]
 
             def gd_cond(carry):
                 x, pd0, pd1, i = carry
-                m0 = jnp.where(gd, jnp.abs(pd0), 0.0).max()
-                m1 = jnp.where(gd, jnp.abs(pd1), 0.0).max()
+                m0 = jnp.where(gval, jnp.abs(pd0), 0.0).max()
+                m1 = jnp.where(gval, jnp.abs(pd1), 0.0).max()
                 return ((m0 > eps) | (m1 > eps)) & (i < 500)
 
             def gd_body(carry):
                 x, pd0, pd1, i = carry
 
                 def loss(x):
-                    pts = e0w + x * (e1w - e0w)
+                    pts = ge0 + x * (ge1 - ge0)
                     outs = net_outputs(spec, params, pts)
-                    a = jnp.take_along_axis(outs, inds[:, None], 1)[:, 0]
+                    a = jnp.take_along_axis(outs, g_inds[:, None], 1)[:, 0]
                     b_ = jnp.take_along_axis(
-                        outs, jnp.broadcast_to(idx, (CCAP,))[:, None],
+                        outs, jnp.broadcast_to(idx, (GDC,))[:, None],
                         1)[:, 0]
-                    y = jnp.where(gd, a ** 2 + b_ ** 2, 0.0).sum()
+                    y = jnp.where(gval, a ** 2 + b_ ** 2, 0.0).sum()
                     return y, (a, b_)
 
                 (_, (a, b_)), g = jax.value_and_grad(loss, has_aux=True)(x)
                 gn = g / jnp.maximum(
                     jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
                 x2 = jnp.clip(x - 1e-2 * gn, 0.0, 1.0)
-                x2 = jnp.where(gd[:, None], x2, x)
-                return x2, jnp.where(gd, a, pd0), jnp.where(gd, b_, pd1), i + 1
+                x2 = jnp.where(gval[:, None], x2, x)
+                return x2, jnp.where(gval, a, pd0), jnp.where(gval, b_, pd1), i + 1
 
-            init_pd = (jnp.where(gd, 1.0, 0.0), jnp.where(gd, 1.0, 0.0))
+            init_pd = (jnp.where(gval, 1.0, 0.0), jnp.where(gval, 1.0, 0.0))
             x_gd, pd0, pd1, _ = jax.lax.while_loop(
-                gd_cond, gd_body, (ints, *init_pd, jnp.int32(0)))
-            ints = jnp.where(gd[:, None], x_gd, ints)
-            d_new0 = jnp.where(gd, pd0, d_new0)
-            d_new1 = jnp.where(gd, pd1, d_new1)
+                gd_cond, gd_body, (gx0, *init_pd, jnp.int32(0)))
+            back = jnp.where(gval, glanes, CCAP)
+            ints = ints.at[back].set(x_gd, mode="drop")
+            d_new0 = d_new0.at[back].set(pd0, mode="drop")
+            d_new1 = d_new1.at[back].set(pd1, mode="drop")
             # no-intersection rows pass the old-vertex filter by fiat
             # (strict_check sets d_new[gg, 0] = 0; subpoly_debug.py:246)
             d_new0 = jnp.where(gg, 0.0, d_new0)
