@@ -317,29 +317,34 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                 lambda st: st,
                 state)
 
-        n_split = split.sum().astype(jnp.int32)
-        n_he = (aliveE & ((jnp.abs(d0) < eps) | (jnp.abs(d1) < eps))) \
-            .sum().astype(jnp.int32)
-        pred_small = (n_split > 0) & (n_split <= TIER_SMALL[0]) \
-            & (n_he <= 4 * TIER_SMALL[1])
-        st1 = jax.lax.cond(
-            pred_small,
-            lambda st: _busy_step(params, marks, lut, TIER_SMALL, st, idx,
-                                  prune, outcol, d0, d1, split),
-            lambda st: st,
-            state)
-        # a small-tier capacity miss (pairs/conn/tier-B are only known
-        # mid-pipeline) reruns the step on the big tier from the saved
-        # pre-state; the high-water marks it recorded are true counts, so
-        # they stay valid
-        small_failed = pred_small & (st1.overflow != ovf)
-        pred_big = ((n_split > 0) & ~pred_small) | small_failed
-        return jax.lax.cond(
-            pred_big,
-            lambda pair: _busy_step(params, marks, lut, TIER_BIG, pair[0],
-                                    idx, prune, outcol, d0, d1, split),
-            lambda pair: pair[1],
-            (state, st1))
+        def dispatch(st):
+            # tier selection runs only on busy steps (the count reductions
+            # cost real passes over the edge pool; idle steps skip them)
+            n_split = split.sum().astype(jnp.int32)
+            n_he = (aliveE & ((jnp.abs(d0) < eps) | (jnp.abs(d1) < eps))) \
+                .sum().astype(jnp.int32)
+            pred_small = (n_split <= TIER_SMALL[0]) \
+                & (n_he <= 4 * TIER_SMALL[1])
+            st1 = jax.lax.cond(
+                pred_small,
+                lambda q: _busy_step(params, marks, lut, TIER_SMALL, q, idx,
+                                     prune, outcol, d0, d1, split),
+                lambda q: q,
+                st)
+            # a small-tier capacity miss (pairs/conn/tier-B are only known
+            # mid-pipeline) reruns the step on the big tier from the saved
+            # pre-state; the high-water marks it recorded are true counts,
+            # so they stay valid
+            small_failed = pred_small & (st1.overflow != ovf)
+            return jax.lax.cond(
+                ~pred_small | small_failed,
+                lambda pair: _busy_step(params, marks, lut, TIER_BIG,
+                                        pair[0], idx, prune, outcol, d0, d1,
+                                        split),
+                lambda pair: pair[1],
+                (st, st1))
+
+        return jax.lax.cond(split.any(), dispatch, lambda st: st, state)
 
     def _busy_step(params, marks, lut, tier, state: State, idx,
                    prune: bool, outcol, d0, d1, split) -> State:
