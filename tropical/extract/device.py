@@ -56,6 +56,8 @@ OVF_V, OVF_E, OVF_C, OVF_P, OVF_K, OVF_W, OVF_H = 1, 2, 4, 8, 16, 32, 64
 OVF_X = 128  # invariant violation: a curved edge lies on no earlier plane
 OVF_B = 256  # tier-B (high-zero-count) expansion side buffer overflow
 OVF_F = 512  # faces-stage capacity (final verts / regions / triangles)
+OVF_Q = 1024  # curved-candidate compaction buffer (force=False path)
+OVF_G = 2048  # faces-stage region polygon width (gcap)
 
 
 @dataclass(frozen=True)
@@ -77,6 +79,16 @@ class Caps:
     rgcap: int = 0       # faces stage: region polygon rows (0 = auto)
     tcap: int = 0        # faces stage: output triangles (0 = auto)
     hbf: int = 0         # faces stage: tier-B expansion rows (0 = auto)
+    cvcap: int = 0       # curved-candidate compaction buffer (0 = auto;
+    #                      force=False only: curved rows are typically a
+    #                      small fraction of the split candidates, so the
+    #                      corner/quartic/GD stages run on a compacted
+    #                      side buffer instead of all CCAP lanes)
+    gcap: int = 0        # faces stage: max vertices per region polygon
+    #                      (0 = follow wcap; decoupled because the LOOP's
+    #                      pair window can ramp to 128 on degenerate grids
+    #                      while real surface polygons stay <= ~18-sided,
+    #                      and every faces array is [RGC, gcap]-shaped)
 
 
 class State(NamedTuple):
@@ -88,10 +100,12 @@ class State(NamedTuple):
     nV: jax.Array       # i32 creation cursor
     nE: jax.Array       # i32 creation cursor
     overflow: jax.Array  # i32 bitmask of OVF_* flags
-    hw: jax.Array       # [11] i32 high-water marks: splits, hits, pairs,
+    hw: jax.Array       # [13] i32 high-water marks: splits, hits, pairs,
     #                     conns, nV, nE, tierB, then the faces stage's
-    #                     final-verts/tierB/regions/triangles — lets the
-    #                     host re-derive tight caps
+    #                     final-verts/tierB/regions/triangles, then the
+    #                     loop's curved-candidate count and the faces
+    #                     stage's max region polygon size — lets the host
+    #                     re-derive tight caps
 
 
 def _eps_sign(out, eps):
@@ -282,7 +296,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
     CAND = CCAP + HCAP
 
     HB_BIG = caps.hb or max(HCAP, CCAP // 8)
-    TIER_BIG = (CCAP, HCAP, PCAP, caps.conncap, HB_BIG)
+    QC_BIG = min(caps.cvcap or max(CCAP // 4, 1024), CCAP)
+    TIER_BIG = (CCAP, HCAP, PCAP, caps.conncap, HB_BIG, QC_BIG)
     # a small tier pays off only when the big buffers are large (and its
     # second compiled pipeline is worth the compile time)
     two_tier = CCAP >= 32768
@@ -292,32 +307,63 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         TIER_SMALL = (CCAP_S, HCAP_S,
                       max(_round_up(PCAP // 8), 16384),
                       max(_round_up(caps.conncap // 8, 4096), 4096),
-                      max(_round_up(HB_BIG // 8, 256), 256))
+                      max(_round_up(HB_BIG // 8, 256), 256),
+                      min(max(_round_up(QC_BIG // 8, 1024), 1024), CCAP_S))
+
+    # pool-prefix tiers for the pre-cond probe: live edges always occupy the
+    # pool prefix [0, nE) (every prune compacts; appends go through the nE
+    # cursor) and every live endpoint index is < nV, so "does this plane
+    # split anything" can be answered over the smallest static prefix that
+    # covers the live counts.  At large scale the full-pool probe was a flat
+    # ~107 ms x 32 steps over ECAP lanes regardless of how few were live.
+    PRE_TIERS = []
+    if ECAP >= 1 << 18:
+        for div in (16, 4):
+            PRE_TIERS.append((min(_round_up(VCAP // div), VCAP),
+                              min(_round_up(ECAP // div), ECAP)))
 
     def step(params, marks, lut, state: State, idx, prune: bool) -> State:
         """One insertion.  Steps whose plane splits no edge return unchanged
         (reference subpoly.py:110-111) — in practice ~2/3 of all steps — via
-        lax.cond, so idle steps cost one gather pass instead of the full
-        pipeline.  Busy steps dispatch to a small- or big-tier pipeline by
-        live candidate counts."""
+        lax.cond, so idle steps cost one prefix-tiered probe instead of the
+        full pipeline.  Busy steps dispatch to a small- or big-tier pipeline
+        by live candidate counts."""
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
-        # --- 1. sign-change split mask (reference subpoly.py:102-105) -------
-        outcol = jnp.take(OUT, idx, axis=1)            # [VCAP]
-        d0 = outcol[E[:, 0]]
-        d1 = outcol[E[:, 1]]
-        split = aliveE & ((d0 * d1) < 0) \
-            & (jnp.abs(d0) > eps) & (jnp.abs(d1) > eps)
+        # --- 1. sign-change split probe (reference subpoly.py:102-105) ------
+        def probe(VP, EP):
+            ocp = jnp.take(OUT[:VP], idx, axis=1)      # [VP]
+            d0p = ocp[E[:EP, 0]]
+            d1p = ocp[E[:EP, 1]]
+            return (aliveE[:EP] & ((d0p * d1p) < 0)
+                    & (jnp.abs(d0p) > eps) & (jnp.abs(d1p) > eps)).any()
 
-        if not two_tier:
-            return jax.lax.cond(
-                split.any(),
-                lambda st: _busy_step(params, marks, lut, TIER_BIG, st, idx,
-                                      prune, outcol, d0, d1, split),
-                lambda st: st,
-                state)
+        def probe_chain(i):
+            # nested conds, smallest tier outermost, so only the selected
+            # tier's gathers execute (a value computed outside the branches
+            # would run unconditionally)
+            if i == len(PRE_TIERS):
+                return probe(VCAP, ECAP)
+            VP, EP = PRE_TIERS[i]
+            return jax.lax.cond((nV <= VP) & (nE <= EP),
+                                lambda: probe(VP, EP),
+                                lambda: probe_chain(i + 1))
+
+        has_split = probe_chain(0)
 
         def dispatch(st):
+            # busy steps recompute the full-width split mask (the probe may
+            # have run on a prefix tier); idle steps never pay this
+            outcol = jnp.take(OUT, idx, axis=1)        # [VCAP]
+            d0 = outcol[E[:, 0]]
+            d1 = outcol[E[:, 1]]
+            split = aliveE & ((d0 * d1) < 0) \
+                & (jnp.abs(d0) > eps) & (jnp.abs(d1) > eps)
+
+            if not two_tier:
+                return _busy_step(params, marks, lut, TIER_BIG, st, idx,
+                                  prune, outcol, d0, d1, split)
+
             # tier selection runs only on busy steps (the count reductions
             # cost real passes over the edge pool; idle steps skip them)
             n_split = split.sum().astype(jnp.int32)
@@ -344,7 +390,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                 lambda pair: pair[1],
                 (st, st1))
 
-        return jax.lax.cond(split.any(), dispatch, lambda st: st, state)
+        return jax.lax.cond(has_split, dispatch, lambda st: st, state)
 
     def _busy_step(params, marks, lut, tier, state: State, idx,
                    prune: bool, outcol, d0, d1, split) -> State:
@@ -353,7 +399,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # most busy steps at a fraction of the gather/sort cost; the
         # dispatcher falls back to the big tier if a small-tier buffer
         # overflows (reference semantics are cap-independent)
-        CCAP, HCAP, PCAP, CONNCAP, HB = tier
+        CCAP, HCAP, PCAP, CONNCAP, HB, QC = tier
         CAND = CCAP + HCAP
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
@@ -398,7 +444,6 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             e0w = V[ce0]
             e1w = V[ce1]
             curved_raw = cval & (((jnp.abs(e1w - e0w) > eps).sum(-1)) > 1)
-            curved = curved_raw
 
             # the earlier plane each curved edge lies on: last shared zero
             # column below idx (subpoly.py:131-151; reference exits when a
@@ -411,45 +456,57 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             # masking the edge out
             ovf = ovf | jnp.where((curved_raw & ~has_plane).any(),
                                   jnp.int32(OVF_X), 0)
-            curved = curved & has_plane
+            curved = curved_raw & has_plane
             inds = (R_COLS - 1
                     - jnp.argmax(r_edges[:, ::-1], axis=-1)).astype(jnp.int32)
             inds = jnp.where(has_plane, inds, 0)
 
+            # Curved rows are typically a small fraction of the split
+            # candidates, yet the corner forward (8 rows each through the
+            # net), the quartic solve and the on-surface forward used to run
+            # on every CCAP lane with the flat majority masked out after.
+            # Compact the curved lanes into a QC-sized side buffer first
+            # (per-row math is independent, so the compacted stages are
+            # row-for-row identical), then scatter results back.
+            n_cv = curved.sum().astype(jnp.int32)
+            qlanes, qval, _ = _compact_lanes(curved, QC)
+            ovf = ovf | jnp.where(n_cv > QC, OVF_Q, 0)
+            qe0 = e0w[qlanes]
+            qe1 = qe0 + jnp.where(qval[:, None], (e1w - e0w)[qlanes], 0.0)
+            q_inds = inds[qlanes]
+
             # corner-cube outputs in one shared linear region (group=8)
-            corners = _corner_points(e0w, e1w).reshape(-1, 3)
+            corners = _corner_points(qe0, qe1).reshape(-1, 3)
             d_corner = net_outputs(spec, params, corners, group=8)
-            d_corner = d_corner.reshape(CCAP, 8, R_COLS)
+            d_corner = d_corner.reshape(QC, 8, R_COLS)
             p = jnp.take_along_axis(
-                d_corner, inds[:, None, None].repeat(8, 1), axis=2)[..., 0]
+                d_corner, q_inds[:, None, None].repeat(8, 1), axis=2)[..., 0]
             q = jnp.take_along_axis(
-                d_corner, jnp.broadcast_to(idx, (CCAP,))[:, None, None]
+                d_corner, jnp.broadcast_to(idx, (QC,))[:, None, None]
                 .repeat(8, 1), axis=2)[..., 0]
 
-            ints = intersection_of_two_planes(p, q)            # [CCAP, 3]
-            gg = ((ints < 0) | (ints > 1)).any(-1)
+            ints_q = intersection_of_two_planes(p, q)            # [QC, 3]
+            gg_q = ((ints_q < 0) | (ints_q > 1)).any(-1)
 
-            cand_cv = e0w + ints * (e1w - e0w)
+            cand_cv = qe0 + ints_q * (qe1 - qe0)
             outs_cv = net_outputs(spec, params, cand_cv)
-            d_new0 = jnp.take_along_axis(outs_cv, inds[:, None], 1)[:, 0]
-            d_new1 = jnp.take_along_axis(
-                outs_cv, jnp.broadcast_to(idx, (CCAP,))[:, None], 1)[:, 0]
+            d_new0_q = jnp.take_along_axis(outs_cv, q_inds[:, None], 1)[:, 0]
+            d_new1_q = jnp.take_along_axis(
+                outs_cv, jnp.broadcast_to(idx, (QC,))[:, None], 1)[:, 0]
 
             # projected-GD rescue of off-surface intersections
-            # (subpoly_debug.py:121-165): rescued rows are typically a few
-            # percent of the candidates, but each loop iteration paid a
-            # full-CCAP forward+grad.  Compact them into a CCAP/4 buffer
-            # first (per-row updates are independent, so the compacted loop
-            # is row-for-row identical), then scatter results back.
-            gd = curved & ~gg & ((jnp.abs(d_new0) > eps)
-                                 | (jnp.abs(d_new1) > eps))
-            GDC = max(CCAP // 4, 1024)
+            # (subpoly_debug.py:121-165): rescued rows are a few percent of
+            # the curved rows — compact once more so each GD iteration pays
+            # a GDC-row forward+grad only.
+            gd = qval & ~gg_q & ((jnp.abs(d_new0_q) > eps)
+                                 | (jnp.abs(d_new1_q) > eps))
+            GDC = max(QC // 4, 256)
             glanes, gval, n_gd = _compact_lanes(gd, GDC)
-            ovf = ovf | jnp.where(n_gd > GDC, OVF_C, 0)
-            ge0 = e0w[glanes]
-            ge1 = ge0 + jnp.where(gval[:, None], (e1w - e0w)[glanes], 0.0)
-            g_inds = inds[glanes]
-            gx0 = ints[glanes]
+            ovf = ovf | jnp.where(n_gd > GDC, OVF_Q, 0)
+            ge0 = qe0[glanes]
+            ge1 = ge0 + jnp.where(gval[:, None], (qe1 - qe0)[glanes], 0.0)
+            g_inds = q_inds[glanes]
+            gx0 = ints_q[glanes]
 
             def gd_cond(carry):
                 x, pd0, pd1, i = carry
@@ -480,10 +537,21 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             init_pd = (jnp.where(gval, 1.0, 0.0), jnp.where(gval, 1.0, 0.0))
             x_gd, pd0, pd1, _ = jax.lax.while_loop(
                 gd_cond, gd_body, (gx0, *init_pd, jnp.int32(0)))
-            back = jnp.where(gval, glanes, CCAP)
-            ints = ints.at[back].set(x_gd, mode="drop")
-            d_new0 = d_new0.at[back].set(pd0, mode="drop")
-            d_new1 = d_new1.at[back].set(pd1, mode="drop")
+            backq = jnp.where(gval, glanes, QC)
+            ints_q = ints_q.at[backq].set(x_gd, mode="drop")
+            d_new0_q = d_new0_q.at[backq].set(pd0, mode="drop")
+
+            # scatter the curved side buffer back to candidate lanes; the
+            # defaults (gg=True, d_new0=1) make any lane the buffer did not
+            # compute fail the strict filter — only curved lanes are ever
+            # read downstream, and all of them are in the buffer unless
+            # OVF_Q was just flagged
+            back = jnp.where(qval, qlanes, CCAP)
+            ints = jnp.zeros((CCAP, 3), jnp.float32).at[back].set(
+                ints_q, mode="drop")
+            gg = jnp.ones((CCAP,), bool).at[back].set(gg_q, mode="drop")
+            d_new0 = jnp.ones((CCAP,), jnp.float32).at[back].set(
+                d_new0_q, mode="drop")
             # no-intersection rows pass the old-vertex filter by fiat
             # (strict_check sets d_new[gg, 0] = 0; subpoly_debug.py:246)
             d_new0 = jnp.where(gg, 0.0, d_new0)
@@ -775,7 +843,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # re-derived caps overflow on the next run
         hit_need = jnp.maximum(n_hit, -(-n_he_busy // 4))
         hw = jnp.maximum(hw, jnp.stack([
-            n_split, hit_need, n_pairs, n_conn, nV2, nE3, n_b, z, z, z, z]))
+            n_split, hit_need, n_pairs, n_conn, nV2, nE3, n_b, z, z, z, z,
+            n_cv if not force else z, z]))
         state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw)
         if prune and "prune" not in disable:
             state = _prune(state, idx, eps, keys=(pk1, pk2))
@@ -837,7 +906,8 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                     disable: frozenset = frozenset(), force: bool = True,
                     stop_before_final: bool = False, lut_k: int = 4,
                     with_skeleton: bool = False, marks_len: int | None = None,
-                    with_faces: bool = False):
+                    with_faces: bool = False, skel_mode: str = "sign",
+                    dist_k: int = 0):
     """One jitted program: 32 hidden insertions + the final-layer insertion +
     the |sdf|<eps skeleton filter (reference subpoly.py:60-74,556-581).
 
@@ -859,7 +929,7 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         aliveE0 = jnp.arange(ECAP, dtype=jnp.int32) < nE0
         hw0 = jnp.stack([jnp.int32(0)] * 4
                         + [jnp.int32(nV0), jnp.int32(nE0)]
-                        + [jnp.int32(0)] * 5)
+                        + [jnp.int32(0)] * 7)
         state = State(V0, OUT0, E0, aliveV0, aliveE0, nV0, nE0,
                       ovf0, hw0)
 
@@ -929,7 +999,10 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         # bookkeeping.
         KF = KCAP
         PREPF = 1 << KF
-        G = WCAP
+        # region polygon width: decoupled from the loop's pair window WCAP
+        # (which can ramp to 128 on degenerate grids while real surface
+        # polygons stay small) — every faces array below is [RGC, G]-shaped
+        G = caps.gcap or WCAP
 
         fvalid = jnp.arange(FVC, dtype=jnp.int32) < n_used
         ovf = ovf | jnp.where(n_used > FVC, OVF_F, 0)
@@ -987,7 +1060,8 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         tbl = r2v[jnp.clip(tblidx, 0, nrep - 1)]
         gmask_col = jnp.arange(G, dtype=jnp.int32)[None, :] < cnt[:, None]
         tbl = jnp.where(gmask_col, tbl, -1)
-        ovf = ovf | jnp.where((cnt > G).any(), OVF_W, 0)
+        gmax = cnt.max().astype(jnp.int32)
+        ovf = ovf | jnp.where(gmax > G, OVF_G, 0)
 
         # deterministic region ordering + duplicate-row removal
         # (np.unique semantics, subpoly.py:617-620).  A full G-operand
@@ -1081,7 +1155,7 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                          jnp.stack([vc_, vb_, va_], axis=-1), 0)
 
         hwf = jnp.stack([jnp.int32(0)] * 7
-                        + [n_used, n_fb, n_rg, total_t])
+                        + [n_used, n_fb, n_rg, total_t, jnp.int32(0), gmax])
         hw = jnp.maximum(hw, hwf)
         meta = jnp.concatenate([
             jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE, total_t]), hw])
@@ -1106,38 +1180,12 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
     @jax.jit
     def extract_fused(params, marks):
         if not use_slab:
-            ax = jnp.arange(M, dtype=jnp.int32)
-            gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
-            xu = jnp.stack([jnp.take(marks, g.reshape(-1), axis=0)
-                            for g in (gx, gy, gz)], axis=-1)
-            world = xu * (spec.scale * 2) - spec.scale
-            out = net_outputs(spec, params, world)
-            sgn = _eps_sign(out, eps).astype(jnp.int8).reshape(
-                M, M, M, R_COLS)
-            mask, ea, eb = _edges_from_sgn(sgn, M)
-            V0, OUT0, E0, nV0, nE0, ovf0 = _squeeze_edges(
-                spec, mask, ea, eb, M, VCAP, ECAP,
-                lattice_out=out, marks=marks)
+            V0, OUT0, E0, nV0, nE0, ovf0 = _skel_single_block(
+                spec, params, marks, M, eps, skel_mode, dist_k, VCAP, ECAP)
         else:
-            SGN = jnp.zeros((M, M, M, R_COLS), jnp.int8)
-
-            def body(si, SGN):
-                x0 = jnp.minimum(si * S, M - S)
-                xs = x0 + jnp.arange(S, dtype=jnp.int32)
-                mk_x = jnp.take(marks, xs, axis=0, mode="clip")
-                gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
-                pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-                world = pts * (spec.scale * 2) - spec.scale
-                o = net_outputs(spec, params, world)
-                sg = _eps_sign(o, eps).astype(jnp.int8).reshape(
-                    S, M, M, R_COLS)
-                return jax.lax.dynamic_update_slice(SGN, sg, (x0, 0, 0, 0))
-
-            SGN = jax.lax.fori_loop(0, n_slabs, body, SGN)
-            mask, ea, eb = _edges_from_sgn(SGN, M)
-            V0, OUT0, E0, nV0, nE0, ovf0 = _squeeze_edges(
-                spec, mask, ea, eb, M, VCAP, ECAP, params=params,
-                marks=marks)
+            V0, OUT0, E0, nV0, nE0, ovf0 = _skel_slab(
+                spec, params, marks, M, S, n_slabs, eps, skel_mode, dist_k,
+                VCAP, ECAP)
         return _run(params, marks, V0, OUT0, E0, nV0, nE0, ovf0)
 
     return extract_fused
@@ -1147,10 +1195,17 @@ def _round_up(n: int, m: int = 8192) -> int:
     return ((int(n) + m - 1) // m) * m
 
 
-def _edges_from_sgn(sgn, M: int):
+def _edges_from_sgn(sgn, M: int, keepv=None):
     """Axis-major lattice edge masks from the sign lattice [M,M,M,R] — the
     exact emission order of the host grid_skeleton (single chunk) so every
-    skeleton variant yields bit-identical edge ordering."""
+    skeleton variant yields bit-identical edge ordering.
+
+    ``keepv`` ([M,M,M] bool, distance mode) additionally requires both edge
+    endpoints to pass the Lipschitz distance bound (reference
+    tropical.py:113-138); the sign-difference test stays AND-ed in because an
+    edge whose endpoints share every neuron sign never splits and is pruned
+    by the loop's future-sign prune anyway (see tests/test_skeleton_modes.py
+    — both prunings yield the identical final mesh)."""
     ax = jnp.arange(M, dtype=jnp.int32)
     gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
     serial = (gx * M * M + gy * M + gz).astype(jnp.int32)
@@ -1161,11 +1216,147 @@ def _edges_from_sgn(sgn, M: int):
         sl_b = tuple(slice(None, -1) if d == axis else slice(None)
                      for d in range(3))
         m = (sgn[sl_a] != sgn[sl_b]).any(-1)
+        if keepv is not None:
+            m = m & keepv[sl_a] & keepv[sl_b]
         masks.append(m.reshape(-1))
         e_a.append(serial[sl_a].reshape(-1))
         e_b.append(serial[sl_b].reshape(-1))
     return (jnp.concatenate(masks), jnp.concatenate(e_a),
             jnp.concatenate(e_b))
+
+
+def _sdf_dist_grad(spec: NetSpec, params, world):
+    """(outputs [N,R], |sdf| [N], |grad sdf| [N]): the sdf is tanh of the
+    last gathered column, so its gradient is (1 - sdf^2) * dcol/dx.
+
+    dcol/dx comes from three forward-mode jvps (one per axis; the shared
+    primal is CSE'd by XLA) rather than one vjp: fusing a vjp's backward
+    pass with any consumer reduction crashes the TPU compiler's priority
+    fusion pass (SIGILL in TpuPriorityFusionQueue::NormalizedComputationCost,
+    measured on v5e libtpu 2026-08-17 — standalone vjp compiles fine, vjp +
+    reduce does not), and the tangent passes of this small MLP are cheap."""
+    f = lambda w: net_outputs(spec, params, w)
+    tangents = []
+    out = None
+    for d in range(3):
+        e = jnp.zeros_like(world).at[:, d].set(1.0)
+        out, t = jax.jvp(f, (world,), (e,))
+        tangents.append(t[:, -1])
+    gl = jnp.stack(tangents, axis=-1)
+    sd = jnp.tanh(out[:, -1])
+    gn = jnp.linalg.norm(gl, axis=-1) * (1.0 - sd * sd)
+    return out, jnp.abs(sd), gn
+
+
+def _lipschitz_keepv(dist, gnorm, marks, k: int):
+    """Per-vertex distance-bound keep mask (reference _skeleton_dist,
+    tropical.py:113-138: keep if |sdf| <= sqrt(3)*2*max_cell*max_grad) with a
+    LOCAL gradient bound: |grad sdf| max-pooled over the (2k+1)^3 lattice
+    neighborhood whose world extent covers the bound's reach (k computed
+    host-side by :func:`_dist_pool_k`).  The reference takes max_grad over a
+    whole 128^3 chunk (tropical.py:190-195), which for saturating tanh SDFs
+    degenerates to the global max and prunes almost nothing; the local pool
+    is the same bound evaluated over the only region the edge can reach.
+    k <= 0 falls back to the reference's global max."""
+    if k <= 0:
+        gmax = jnp.full_like(gnorm, gnorm.max())
+    else:
+        gmax = gnorm
+        for ax in range(3):
+            wd = [1, 1, 1]
+            wd[ax] = 2 * k + 1
+            gmax = jax.lax.reduce_window(
+                gmax, -jnp.inf, jax.lax.max, tuple(wd), (1, 1, 1), "SAME")
+    bound = np.sqrt(3.0) * 2.0 * jnp.max(jnp.diff(marks)) * gmax
+    return dist <= bound
+
+
+def _dist_pool_k(marks) -> int:
+    """Index-space pooling radius covering the Lipschitz bound's world reach
+    sqrt(3)*2*max_cell from any lattice plane (marks may be non-uniform).
+    Returns 0 (= global-max fallback) if the union lattice is so non-uniform
+    that a local window would have to span >16 planes."""
+    mk = np.asarray(marks, np.float64)
+    if mk.size < 2:
+        return 0
+    reach = np.sqrt(3.0) * 2.0 * np.diff(mk).max()
+    lo = np.searchsorted(mk, mk - reach, side="left")
+    hi = np.searchsorted(mk, mk + reach, side="right") - 1
+    i = np.arange(mk.size)
+    k = int(max((i - lo).max(), (hi - i).max()))
+    return k if k <= 16 else 0
+
+
+def _skel_single_block(spec: NetSpec, params, marks, M: int, eps: float,
+                       mode: str, dist_k: int, SV: int, SE: int):
+    """Whole-lattice skeleton body (float outputs fit HBM)."""
+    ax = jnp.arange(M, dtype=jnp.int32)
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    xu = jnp.stack([jnp.take(marks, g.reshape(-1), axis=0)
+                    for g in (gx, gy, gz)], axis=-1)
+    world = xu * (spec.scale * 2) - spec.scale
+    if mode == "dist":
+        out, dq, gn = _sdf_dist_grad(spec, params, world)
+        keepv = _lipschitz_keepv(dq.reshape(M, M, M), gn.reshape(M, M, M),
+                                 marks, dist_k)
+    else:
+        out = net_outputs(spec, params, world)
+        keepv = None
+    sgn = _eps_sign(out, eps).astype(jnp.int8).reshape(M, M, M, R_COLS)
+    mask, ea, eb = _edges_from_sgn(sgn, M, keepv)
+    return _squeeze_edges(spec, mask, ea, eb, M, SV, SE,
+                          lattice_out=out, marks=marks)
+
+
+def _skel_slab(spec: NetSpec, params, marks, M: int, S: int, n_slabs: int,
+               eps: float, mode: str, dist_k: int, SV: int, SE: int):
+    """Slab-chunked skeleton body: stores only the int8 sign lattice (plus,
+    in distance mode, two [M,M,M] f32 planes for |sdf| and |grad|)."""
+    SGN = jnp.zeros((M, M, M, R_COLS), jnp.int8)
+
+    if mode == "dist":
+        DQ = jnp.zeros((M, M, M), jnp.float32)
+        GR = jnp.zeros((M, M, M), jnp.float32)
+
+        def body(si, carry):
+            SGN, DQ, GR = carry
+            x0 = jnp.minimum(si * S, M - S)
+            xs = x0 + jnp.arange(S, dtype=jnp.int32)
+            mk_x = jnp.take(marks, xs, axis=0, mode="clip")
+            gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
+            pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+            world = pts * (spec.scale * 2) - spec.scale
+            out, dq, gn = _sdf_dist_grad(spec, params, world)
+            sg = _eps_sign(out, eps).astype(jnp.int8).reshape(
+                S, M, M, R_COLS)
+            SGN = jax.lax.dynamic_update_slice(SGN, sg, (x0, 0, 0, 0))
+            DQ = jax.lax.dynamic_update_slice(
+                DQ, dq.reshape(S, M, M), (x0, 0, 0))
+            GR = jax.lax.dynamic_update_slice(
+                GR, gn.reshape(S, M, M), (x0, 0, 0))
+            return SGN, DQ, GR
+
+        SGN, DQ, GR = jax.lax.fori_loop(0, n_slabs, body, (SGN, DQ, GR))
+        keepv = _lipschitz_keepv(DQ, GR, marks, dist_k)
+    else:
+        def body(si, SGN):
+            x0 = jnp.minimum(si * S, M - S)
+            xs = x0 + jnp.arange(S, dtype=jnp.int32)
+            mk_x = jnp.take(marks, xs, axis=0, mode="clip")
+            gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
+            pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+            world = pts * (spec.scale * 2) - spec.scale
+            o = net_outputs(spec, params, world)
+            sg = _eps_sign(o, eps).astype(jnp.int8).reshape(
+                S, M, M, R_COLS)
+            return jax.lax.dynamic_update_slice(SGN, sg, (x0, 0, 0, 0))
+
+        SGN = jax.lax.fori_loop(0, n_slabs, body, SGN)
+        keepv = None
+
+    mask, ea, eb = _edges_from_sgn(SGN, M, keepv)
+    return _squeeze_edges(spec, mask, ea, eb, M, SV, SE,
+                          params=params, marks=marks)
 
 
 def _squeeze_edges(spec, mask, ea, eb, M: int, SV: int, SE: int,
@@ -1206,37 +1397,30 @@ def _squeeze_edges(spec, mask, ea, eb, M: int, SV: int, SE: int,
 
 
 def make_skeleton_fn(spec: NetSpec, skel_caps: tuple, marks_len: int,
-                     eps: float):
-    """On-device initial skeleton (sign pruning) into (SV, SE)-capped
-    buffers — no host round-trip for the lattice outputs.
+                     eps: float, mode: str = "sign", dist_k: int = 0):
+    """On-device initial skeleton into (SV, SE)-capped buffers — no host
+    round-trip for the lattice outputs.
 
-    Reference semantics: tropical.py:81-111 (sign mode) + :211-223
-    (squeeze_edges); single-block variant for lattices whose float outputs
-    fit HBM (marks_len^3 * R * 4 bytes; up to ~medium configs).  Larger
-    lattices use :func:`make_slab_skeleton_fn`.
+    Reference semantics: tropical.py:81-111 (sign mode) / :113-138 (distance
+    mode, with the slab-local gradient bound of :func:`_lipschitz_keepv`)
+    + :211-223 (squeeze_edges); single-block variant for lattices whose
+    float outputs fit HBM (marks_len^3 * R * 4 bytes; up to ~medium
+    configs).  Larger lattices use :func:`make_slab_skeleton_fn`.
     """
     SV, SE = skel_caps
     M = marks_len
 
     @jax.jit
     def skeleton(params, marks):
-        ax = jnp.arange(M, dtype=jnp.int32)
-        gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
-        xu = jnp.stack([jnp.take(marks, g.reshape(-1), axis=0)
-                        for g in (gx, gy, gz)], axis=-1)       # [M^3, 3]
-        world = xu * (spec.scale * 2) - spec.scale             # preprocess_inverse
-        out = net_outputs(spec, params, world)                 # [M^3, R]
-        sgn = _eps_sign(out, eps).astype(jnp.int8).reshape(M, M, M, R_COLS)
-
-        mask, ea, eb = _edges_from_sgn(sgn, M)
-        return _squeeze_edges(spec, mask, ea, eb, M, SV, SE,
-                              lattice_out=out, marks=marks)
+        return _skel_single_block(spec, params, marks, M, eps, mode, dist_k,
+                                  SV, SE)
 
     return skeleton
 
 
 def make_slab_skeleton_fn(spec: NetSpec, skel_caps: tuple, marks_len: int,
-                          eps: float, slab: int = 16):
+                          eps: float, slab: int = 16, mode: str = "sign",
+                          dist_k: int = 0):
     """Slab-chunked device skeleton for lattices too big to hold float
     outputs in HBM (marks > 128, e.g. the large preset's M~201 where the
     full [M^3, R] float lattice is ~1 GiB).
@@ -1254,35 +1438,19 @@ def make_slab_skeleton_fn(spec: NetSpec, skel_caps: tuple, marks_len: int,
 
     @jax.jit
     def skeleton(params, marks):
-        SGN = jnp.zeros((M, M, M, R_COLS), jnp.int8)
-
-        def body(s, SGN):
-            # the final slab is shifted back to stay in range; the overlap
-            # rows recompute identical values
-            x0 = jnp.minimum(s * S, M - S)
-            xs = x0 + jnp.arange(S, dtype=jnp.int32)
-            mk_x = jnp.take(marks, xs, axis=0, mode="clip")
-            gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
-            pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-            world = pts * (spec.scale * 2) - spec.scale
-            out = net_outputs(spec, params, world)
-            sgn = _eps_sign(out, eps).astype(jnp.int8).reshape(
-                S, M, M, R_COLS)
-            return jax.lax.dynamic_update_slice(SGN, sgn, (x0, 0, 0, 0))
-
-        SGN = jax.lax.fori_loop(0, n_slabs, body, SGN)
-        mask, ea, eb = _edges_from_sgn(SGN, M)
-        return _squeeze_edges(spec, mask, ea, eb, M, SV, SE,
-                              params=params, marks=marks)
+        return _skel_slab(spec, params, marks, M, S, n_slabs, eps, mode,
+                          dist_k, SV, SE)
 
     return skeleton
 
 
-def default_skel_caps(marks_len: int) -> tuple:
+def default_skel_caps(marks_len: int, mode: str = "sign") -> tuple:
     """Initial-skeleton buffer sizes from the lattice resolution.  Sign-mode
     skeleton edges measured at ~39-51*M^2 (sphere small/medium); 64*M^2
-    gives headroom, with overflow-flag retries doubling on miss."""
-    n = _round_up(64 * marks_len * marks_len)
+    gives headroom, with overflow-flag retries doubling on miss.  Distance
+    mode keeps only a few-cell shell around the surface (~12-25x fewer,
+    measured sphere small/large), so it starts at a quarter of that."""
+    n = _round_up((16 if mode == "dist" else 64) * marks_len * marks_len)
     return (n, n)
 
 
@@ -1403,13 +1571,23 @@ def device_engine_supports(net) -> bool:
 
 def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                    verbose: bool = True, caps: Caps | None = None,
-                   force: bool = True):
+                   force: bool = True, skeleton_mode: str = "auto"):
     """Drop-in fast path for ``subpoly``; force=False enables the exact
     bi-/tri-linear intersection path.
+
+    ``skeleton_mode``: "dist" (default via "auto"; overridable with the
+    TROPICAL_SKEL_MODE env var) starts from the Lipschitz-distance-pruned
+    lattice (reference PRUNING_MODE default, tropical.py:188) with the
+    slab-local gradient bound — a ~4-20x smaller start set than "sign",
+    which in turn sizes every pool the loop touches.  Both modes yield the
+    identical final mesh (tests/test_skeleton_modes.py,
+    tests/test_device_dist_skeleton.py).
 
     Returns (faces [T,3,3], vertices [V,3], triangles [T,3]).  Retries with
     enlarged caps if any capacity overflowed.
     """
+    import os
+
     from tropical.extract.faces import extract_faces
     from tropical.extract.skeleton import get_hypercube
 
@@ -1419,10 +1597,16 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             f"marks (got {(net.num_layers - 1) * net.num_hidden + 1} cols, "
             f"{int(net.marks.shape[0])} marks); use engine='host'")
 
+    mode = skeleton_mode
+    if mode == "auto":
+        mode = os.environ.get("TROPICAL_SKEL_MODE", "dist")
+    assert mode in ("sign", "dist"), mode
+
     M = int(net.marks.shape[0])
     _load_persisted_caps()
-    size_key = (net.spec, M, force)
-    size_tok = _caps_token(net.spec, f"M{M}-f{int(force)}-e{eps}")
+    mtag = f"M{M}" if mode == "sign" else f"M{M}-{mode}"
+    size_key = (net.spec, M, force, mode)
+    size_tok = _caps_token(net.spec, f"{mtag}-f{int(force)}-e{eps}")
     caps = caps or _GOOD_CAPS.get(size_key) or _PERSISTED["good"].get(size_tok)
 
     # max marks per uniform LUT cell (exactness bound for the fast
@@ -1431,13 +1615,14 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     lut_k = max(1, int(np.bincount(
         np.clip((mk_np * LUTN).astype(np.int64), 0, LUTN - 1),
         minlength=LUTN).max()))
+    dist_k = _dist_pool_k(mk_np) if mode == "dist" else 0
 
     def _memoize_tight(hw, used_caps, n_final):
         # memoize *tight* caps from the run's high-water marks rather than
         # whatever the overflow-retry ramp landed on — every padded lane
         # costs real work each step
         (hws, hwh, hwp, hwc, hwv, hwe, hwb,
-         hwfv, hwfb, hwrg, hwt) = (int(x) for x in np.asarray(hw))
+         hwfv, hwfb, hwrg, hwt, hwcv, hwg) = (int(x) for x in np.asarray(hw))
         ccap_t = _round_up(int(hws * 1.15), 4096)
         conncap_t = _round_up(int(hwc * 1.15) + 4096)
         # faces-stage caps: from this run's counts when the fused faces
@@ -1460,13 +1645,38 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                             + 4096),
             tcap=_round_up(int((hwt if hwt > 0 else fv * 2.2) * 1.2) + 4096),
             hbf=_round_up(int((hwfb if hwfb > 0 else fv // 3) * 1.3) + 1024,
-                          2048))
+                          2048),
+            # curved side buffer from the loop's curved-count high-water
+            # (force runs record 0 -> keep the auto default)
+            cvcap=(_round_up(int(hwcv * 1.3) + 256, 1024) if hwcv > 0 else 0),
+            # faces polygon width from the max region size actually seen
+            gcap=(max(-(-int(hwg * 1.3) // 8) * 8, 16) if hwg > 0 else 0))
         # hysteresis: the high-water marks themselves depend (mildly) on the
         # caps the run used (lazy-compaction trigger points), so re-deriving
         # every run would oscillate, and each oscillation costs a full XLA
         # recompile.  Keep the caps we just ran with unless some buffer is
         # meaningfully oversized (>1.5x) or too small.
         import dataclasses
+
+        def eff(c: Caps, name: str) -> int:
+            # resolve auto (0) fields to the defaults the programs actually
+            # use — comparing raw zeros against a derived concrete value
+            # would flip the memo every time a run records (or doesn't
+            # record) the corresponding high-water mark, e.g. when faces ran
+            # on the host instead of fused
+            v = getattr(c, name)
+            if v:
+                return v
+            fv = c.fvcap or max(_round_up(c.vcap // 4), 16384)
+            return {
+                "hb": max(c.hcap, c.ccap // 8),
+                "cvcap": min(max(c.ccap // 4, 1024), c.ccap),
+                "fvcap": fv,
+                "rgcap": _round_up(fv + fv // 2),
+                "tcap": _round_up(3 * fv),
+                "hbf": max(_round_up(fv // 4, 2048), 2048),
+                "gcap": c.wcap,
+            }.get(name, 0)
 
         def acceptable(cur: Caps, want: Caps) -> bool:
             # vcap gets a wide band: the vertex high-water depends on WHEN
@@ -1475,7 +1685,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             # chain of slightly different caps, each a full XLA recompile
             slack = {"vcap": 3.0}
             for f in dataclasses.fields(Caps):
-                c, w = getattr(cur, f.name), getattr(want, f.name)
+                c, w = eff(cur, f.name), eff(want, f.name)
                 hi = max(int(w * slack.get(f.name, 1.5)), w + 16384)
                 if c < w or c > hi:
                     return False
@@ -1525,14 +1735,15 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         import dataclasses
 
         for _fa in range(3):
-            fkey = (net.spec, caps, eps, force, lut_k, M, "fused")
+            fkey = (net.spec, caps, eps, force, lut_k, M, mode, "fused")
             if fkey in _FUSED_BROKEN:
                 ovf, nE_pre = -1, -1
                 break
             if fkey not in _EXTRACT_CACHE:
                 _EXTRACT_CACHE[fkey] = make_extract_fn(
                     net.spec, caps, eps, force=force, lut_k=lut_k,
-                    with_skeleton=True, marks_len=M, with_faces=True)
+                    with_skeleton=True, marks_len=M, with_faces=True,
+                    skel_mode=mode, dist_k=dist_k)
             try:
                 V, OUT, E, tris, meta = _EXTRACT_CACHE[fkey](
                     net.params, net.marks)
@@ -1557,16 +1768,20 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 _memoize_tight(hw, caps, nV)
                 return _finish(V, OUT, E, nV, nE, nV_pre, nE_pre,
                                tris=tris, n_tris=n_tris)
-            if ovf == OVF_F or ovf == (OVF_F | OVF_W):
+            if ovf & ~(OVF_F | OVF_G) == 0:
                 # faces-stage-only capacity miss: grow just those buffers
                 # and retry the fused program (the loop itself was fine)
                 caps = dataclasses.replace(
                     caps,
-                    fvcap=(caps.fvcap or _round_up(caps.vcap // 4)) * 2,
-                    rgcap=(caps.rgcap or _round_up(caps.vcap // 3)) * 2,
-                    tcap=(caps.tcap or _round_up(caps.vcap)) * 2,
-                    hbf=(caps.hbf or 2048) * 2,
-                    wcap=caps.wcap * (2 if ovf & OVF_W else 1))
+                    fvcap=(caps.fvcap or _round_up(caps.vcap // 4))
+                    * (2 if ovf & OVF_F else 1),
+                    rgcap=(caps.rgcap or _round_up(caps.vcap // 3))
+                    * (2 if ovf & OVF_F else 1),
+                    tcap=(caps.tcap or _round_up(caps.vcap))
+                    * (2 if ovf & OVF_F else 1),
+                    hbf=(caps.hbf or 2048) * (2 if ovf & OVF_F else 1),
+                    gcap=((caps.gcap or caps.wcap) * 2)
+                    if ovf & OVF_G else caps.gcap)
                 if verbose:
                     print(f"[device-extract] faces overflow; retry {caps}")
                 continue
@@ -1580,17 +1795,18 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     # (decoupled from the loop caps so no host round-trip of the lattice is
     # ever needed — the chunked host skeleton pulls ~130 MB/([M/128]^3 chunk)
     # through a ~40 MB/s tunnel)
-    skel_key = (net.spec, M, eps)
-    skel_tok = _caps_token(net.spec, f"M{M}-e{eps}-skel")
+    skel_key = (net.spec, M, eps, mode)
+    skel_tok = _caps_token(net.spec, f"{mtag}-e{eps}-skel")
     skel_caps = (_SKEL_CAPS.get(skel_key)
                  or _PERSISTED["skel"].get(skel_tok)
-                 or default_skel_caps(M))
+                 or default_skel_caps(M, mode))
     for _ in range(5):
-        kkey = ("skel", net.spec, skel_caps, M, eps)
+        kkey = ("skel", net.spec, skel_caps, M, eps, mode)
         if kkey not in _EXTRACT_CACHE:
             mk = (make_skeleton_fn if M <= 128
                   and M ** 3 * R_COLS * 4 <= 2 ** 30 else make_slab_skeleton_fn)
-            _EXTRACT_CACHE[kkey] = mk(net.spec, skel_caps, M, eps)
+            _EXTRACT_CACHE[kkey] = mk(net.spec, skel_caps, M, eps,
+                                      mode=mode, dist_k=dist_k)
         Vs, Os, Es, nV0, nE0, ovf_s = _EXTRACT_CACHE[kkey](
             net.params, net.marks)
         ovf_s = int(ovf_s)
@@ -1668,6 +1884,18 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 ccap=caps.ccap * 2 if ovf & OVF_C else caps.ccap,
                 hcap=caps.hcap * 2 if ovf & OVF_H else caps.hcap,
                 pcap=caps.pcap * 2, conncap=caps.conncap * 2)
+        elif ovf & OVF_Q:
+            # curved side buffer (or its GD sub-buffer, sized QC/4) missed;
+            # once it has grown to CCAP the candidate block itself is the
+            # binding cap, so grow that instead
+            cur = caps.cvcap or max(caps.ccap // 4, 1024)
+            if cur >= caps.ccap:
+                caps = dataclasses.replace(
+                    caps, ccap=caps.ccap * 2, cvcap=cur * 2,
+                    vcap=caps.vcap + 4 * caps.ccap,
+                    ecap=caps.ecap + 2 * caps.ccap)
+            else:
+                caps = dataclasses.replace(caps, cvcap=cur * 2)
         elif ovf & (OVF_V | OVF_E | OVF_P):
             caps = dataclasses.replace(
                 caps,
