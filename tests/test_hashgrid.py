@@ -123,6 +123,113 @@ def test_p2v_v2p_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(idx))
 
 
+# ---------------------------------------------------------------------------
+# tcnn layout contract (reference tropical/tropical.py:32-47): hand-derived
+# fixtures pinning every detail a released `.pth` checkpoint depends on.  Each
+# constant below was computed by hand/np.float64 from the instant-ngp rules —
+# if any of growth, per-level scale, ceil+1 resolution, next_multiple(.,8)
+# padding, the 2^T clamp, the dense->hash switch, the prime hash, or the
+# feature-fastest flat layout drifted, one of these would fail.
+# ---------------------------------------------------------------------------
+
+# reference tcnn default: L=16, F=2, T=19, N_min=16, N_max=2048
+NGP = HashGridSpec(scale=1.0, dim=3, levels=16, features=2, log2_table=19,
+                   n_min=16, n_max=2048)
+
+
+def test_tcnn_small_preset_offsets():
+    """All 4 levels of the small preset: b=2^(4/3); resolutions 2/6/13/32;
+    13^3=2197 pads to 2200 (the only non-multiple-of-8 dense level)."""
+    assert np.isclose(SMALL.growth, 2.0 ** (4.0 / 3.0))
+    assert [SMALL.level_resolution(l) for l in range(4)] == [2, 6, 13, 32]
+    assert [SMALL.level_entries(l) for l in range(4)] == [8, 216, 2200, 32768]
+    assert SMALL.level_offsets == (0, 8, 224, 2424)
+    assert SMALL.n_entries == 35192
+    assert not any(SMALL.level_uses_hash(l) for l in range(4))
+
+
+def test_tcnn_dense_hash_switch():
+    """The dense->hash boundary of the tcnn default config sits between
+    levels 4 and 5: res 59 (59^3=205379 -> 205384 padded) is the last dense
+    level; res 81 (81^3=531441 > 2^19) is the first hashed one, clamped to
+    exactly 2^19 entries."""
+    assert np.isclose(NGP.growth, 2.0 ** (7.0 / 15.0))
+    assert NGP.level_resolution(4) == 59
+    assert not NGP.level_uses_hash(4)
+    assert NGP.level_entries(4) == 205384          # next_multiple(59**3, 8)
+    assert NGP.level_resolution(5) == 81
+    assert NGP.level_uses_hash(5)
+    assert NGP.level_entries(5) == 1 << 19
+    assert NGP.level_offsets[4] == 125568
+    assert NGP.level_offsets[5] == 330952
+    # every later level is hashed and 2^19 wide; total table length is fixed
+    assert all(NGP.level_uses_hash(l) for l in range(5, 16))
+    assert NGP.n_entries == 6098120
+
+
+def test_tcnn_hash_collision_t19():
+    """Two in-range coordinates of hashed level 6 (res 112) that collide at
+    T=19: (0,7,81) and (0,8,18) both map to slot 124402 (computed by hand
+    from xor_d(grid_d * primes_d) mod 2^19 with primes (1, 2654435761,
+    805459861) in uint32 arithmetic)."""
+    from tropical.core.hashgrid import _level_indices
+
+    assert NGP.level_resolution(6) == 112 and NGP.level_uses_hash(6)
+    grid = jnp.asarray([[0, 7, 81], [0, 8, 18], [0, 7, 82]], jnp.int32)
+    idx = np.asarray(_level_indices(NGP, 6, grid))
+    assert idx[0] == 124402 and idx[1] == 124402   # the collision pair
+    assert idx[2] != 124402                        # control: not everything
+
+    # the collision is observable through the table: a distinctive entry at
+    # the shared slot is read back for BOTH corner coordinates
+    params = np.zeros((NGP.n_entries, 2), np.float32)
+    params[NGP.level_offsets[6] + 124402] = [7.5, -2.5]
+    from tropical.core.hashgrid import encode as enc_fn
+    # place x exactly on each integer corner so one corner weight is ~1
+    s = NGP.level_scale(6)
+    for cx, cy, cz in [(0, 7, 81), (0, 8, 18)]:
+        x = (np.array([[cx, cy, cz]], np.float32) - 0.5) / s
+        out = np.asarray(enc_fn(NGP, jnp.asarray(params), jnp.asarray(x)))
+        np.testing.assert_allclose(out[0, 12:14], [7.5, -2.5], atol=1e-4)
+
+
+def test_tcnn_pth_layout_roundtrip():
+    """`.pth` import contract (net.py load_torch_state_dict): the flat tcnn
+    param vector is entry-major/feature-fastest (flat[e*F + f] -> table[e,f]),
+    and torch Linear weights [out,in] transpose to our [in,out]."""
+    from tropical.core.net import NetSpec, TropicalNet, net_forward
+
+    spec = NetSpec(num_layers=3, num_hidden=16, levels=4, r_min=2, r_max=32,
+                   T=19)
+    n = spec.grid.n_entries
+    state = {"enc.module.params": np.arange(n * 2, dtype=np.float32)}
+    rng = np.random.default_rng(0)
+    for i, (fan_in, fan_out) in enumerate(zip(spec.num_nodes[:-1],
+                                              spec.num_nodes[1:])):
+        state[f"fc.{i}.weight"] = rng.normal(
+            size=(fan_out, fan_in)).astype(np.float32)  # torch [out, in]
+        state[f"fc.{i}.bias"] = rng.normal(size=(fan_out,)).astype(np.float32)
+
+    net = TropicalNet(spec).load_torch_state_dict(state)
+    table = np.asarray(net.params["table"])
+    assert table.shape == (n, 2)
+    # feature-fastest: entry e holds flat[2e], flat[2e+1]
+    np.testing.assert_array_equal(table[123], [246.0, 247.0])
+    np.testing.assert_array_equal(table[n - 1], [2 * n - 2, 2 * n - 1])
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(net.params["mlp"]["w"][i]),
+                                      state[f"fc.{i}.weight"].T)
+    # and the forward consumes them in that orientation: layer-0 output of a
+    # fixed point equals the hand-computed feats @ W0^T + b0
+    x = jnp.asarray([[0.25, -0.125, 0.5]])
+    feats = np.asarray(encode(spec.grid, net.params["table"],
+                              np.asarray((x + 1.0) / 2.0)))
+    manual = feats @ state["fc.0.weight"].T + state["fc.0.bias"]
+    _, gathered = net_forward(spec, net.params, x, gather=True)
+    np.testing.assert_allclose(np.asarray(gathered)[0, :16], manual[0],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_region_mask_and_offset():
     grid = TropicalHashGrid(TINY)
     # marks = [0, .1, .3, .5, .7, .9, 1]
