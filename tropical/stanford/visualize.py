@@ -95,6 +95,57 @@ def visualize_comparison(meshes, labels, out_path: str, name: str = "sphere"):
     return out_path
 
 
+def _mesh_tag(path: str, size: str, seed: int) -> str:
+    """'our' / 'mc256' / 'mt032' from a gallery mesh filename."""
+    base = os.path.basename(path)
+    stem = base[: -len(f"_{size}_{seed}.ply")]
+    return "our" if stem in ("our", "our_mesh") else stem.replace("_mesh", "")
+
+
+def gallery_meshes(meshes_root: str, data: str, size: str, seed: int):
+    """All renderable meshes for one (dataset, size, seed) run, ours first
+    then baselines by ascending resolution (reference visualize_all's sweep
+    of our_mesh + mc{016..512}; this repo's evaluate CLI also emits mt###)."""
+    import glob
+
+    d = os.path.join(meshes_root, data)
+    paths = sorted(
+        set(glob.glob(os.path.join(d, f"*_{size}_{seed}.ply"))))
+    ours = [p for p in paths if _mesh_tag(p, size, seed) == "our"]
+    rest = sorted((p for p in paths if p not in ours),
+                  key=lambda p: _mesh_tag(p, size, seed))
+    return ours + rest
+
+
+def visualize_all(data: str, size: str, seed: int, meshes_root: str = "meshes",
+                  out_dir: str | None = None):
+    """Gallery generator (reference visualize.py ``visualize_all``): render
+    every available mesh of the run — ours plus each marching-cubes/-tets
+    baseline resolution — as individual PNGs and one combined figure.
+
+    Returns (individual paths, combined figure path)."""
+    from tropical.utils.ply import read_ply
+
+    paths = gallery_meshes(meshes_root, data, size, seed)
+    if not paths:
+        raise FileNotFoundError(
+            f"no meshes matching {meshes_root}/{data}/*_{size}_{seed}.ply")
+    out_dir = out_dir or os.path.join(meshes_root, data, "outputs")
+
+    outs, meshes, labels = [], [], []
+    for p in paths:
+        tag = _mesh_tag(p, size, seed)
+        mesh = read_ply(p)
+        out = os.path.join(out_dir, f"{size}_{tag}_{seed}.png")
+        outs.append(visualize_mesh(mesh, out, data))
+        meshes.append(mesh)
+        labels.append(f"{tag} ({mesh.faces.shape[0]} tris)")
+    combined = visualize_comparison(
+        meshes, labels, os.path.join(out_dir, f"{size}_gallery_{seed}.png"),
+        data)
+    return outs, combined
+
+
 def main(argv=None):
     from tropical.utils.ply import read_ply
 
@@ -103,10 +154,23 @@ def main(argv=None):
     parser.add_argument("-s", "--seed", default=1, type=int)
     parser.add_argument("-m", "--model_size", default="small")
     parser.add_argument("-o", "--out", default=None)
+    parser.add_argument("-a", "--all", action="store_true",
+                        help="render every mesh of the run plus a combined "
+                             "gallery figure (reference visualize_all)")
+    parser.add_argument("--meshes_root", default="meshes")
     args = parser.parse_args(argv)
 
+    if args.all:
+        outs, combined = visualize_all(
+            args.dataset, args.model_size, args.seed,
+            meshes_root=args.meshes_root, out_dir=args.out)
+        for p in outs:
+            print(p)
+        print(combined)
+        return 0
+
     mesh_path = os.path.join(
-        f"meshes/{args.dataset}",
+        args.meshes_root, args.dataset,
         f"our_mesh_{args.model_size}_{args.seed}.ply")
     mesh = read_ply(mesh_path)
     out = args.out or mesh_path.replace(".ply", ".png")
