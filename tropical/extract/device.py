@@ -331,34 +331,42 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
 
         # --- 1. sign-change split probe (reference subpoly.py:102-105) ------
-        def probe(VP, EP):
+        def precond(VP, EP):
             ocp = jnp.take(OUT[:VP], idx, axis=1)      # [VP]
             d0p = ocp[E[:EP, 0]]
             d1p = ocp[E[:EP, 1]]
-            return (aliveE[:EP] & ((d0p * d1p) < 0)
-                    & (jnp.abs(d0p) > eps) & (jnp.abs(d1p) > eps)).any()
+            return ocp, d0p, d1p, (aliveE[:EP] & ((d0p * d1p) < 0)
+                                   & (jnp.abs(d0p) > eps)
+                                   & (jnp.abs(d1p) > eps))
 
-        def probe_chain(i):
-            # nested conds, smallest tier outermost, so only the selected
-            # tier's gathers execute (a value computed outside the branches
-            # would run unconditionally)
-            if i == len(PRE_TIERS):
-                return probe(VCAP, ECAP)
-            VP, EP = PRE_TIERS[i]
-            return jax.lax.cond((nV <= VP) & (nE <= EP),
-                                lambda: probe(VP, EP),
-                                lambda: probe_chain(i + 1))
+        if not PRE_TIERS:
+            # small pools: compute the full-width mask once and share it
+            # with the busy pipeline (a probe + busy recompute would double
+            # the pre-cond cost exactly where it is cheapest to avoid)
+            pre = precond(VCAP, ECAP)
+            has_split = pre[3].any()
+        else:
+            pre = None
 
-        has_split = probe_chain(0)
+            def probe_chain(i):
+                # nested conds, smallest tier outermost, so only the
+                # selected tier's gathers execute (a value computed outside
+                # the branches would run unconditionally)
+                if i == len(PRE_TIERS):
+                    return precond(VCAP, ECAP)[3].any()
+                VP, EP = PRE_TIERS[i]
+                return jax.lax.cond((nV <= VP) & (nE <= EP),
+                                    lambda: precond(VP, EP)[3].any(),
+                                    lambda: probe_chain(i + 1))
+
+            has_split = probe_chain(0)
 
         def dispatch(st):
-            # busy steps recompute the full-width split mask (the probe may
-            # have run on a prefix tier); idle steps never pay this
-            outcol = jnp.take(OUT, idx, axis=1)        # [VCAP]
-            d0 = outcol[E[:, 0]]
-            d1 = outcol[E[:, 1]]
-            split = aliveE & ((d0 * d1) < 0) \
-                & (jnp.abs(d0) > eps) & (jnp.abs(d1) > eps)
+            # with prefix tiers active the probe may have run on a prefix,
+            # so busy steps recompute the full-width mask; idle steps (the
+            # ~2/3 majority) never pay this
+            outcol, d0, d1, split = (pre if pre is not None
+                                     else precond(VCAP, ECAP))
 
             if not two_tier:
                 return _busy_step(params, marks, lut, TIER_BIG, st, idx,
