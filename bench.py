@@ -23,7 +23,9 @@ reference GPU run).
 Roofline extras (per config): XLA's own cost model for the fused extraction
 program (flops + bytes accessed) divided by measured wall-clock, against the
 v5e peaks (197 TFLOP/s bf16, 819 GB/s HBM) — the engine is gather-bound, so
-`hbm_util_pct` is the number that says how far from speed-of-light it runs.
+`hbm_util_pct_upper_bound` is the number that says how far from
+speed-of-light it runs (upper bound: XLA's bytes-accessed includes
+VMEM-hit re-reads, so values can exceed 100%).
 """
 
 from __future__ import annotations
@@ -133,7 +135,11 @@ def run_config(metric, size, force, baseline_s, note, timed_runs):
             "achieved_gbytes_per_s": round(nbytes / best / 1e9, 1),
             "mxu_util_pct_of_bf16_peak": round(
                 100.0 * flops / best / V5E_PEAK_FLOPS, 2),
-            "hbm_util_pct": round(
+            # xla "bytes accessed" counts every operand touch, including
+            # re-reads that hit VMEM — so this is an upper bound on true HBM
+            # utilization and can exceed 100% when the program has heavy
+            # on-chip reuse (observed 358% on the medium config)
+            "hbm_util_pct_upper_bound": round(
                 100.0 * nbytes / best / V5E_PEAK_HBM_BPS, 1),
         }
     print(json.dumps({

@@ -33,15 +33,19 @@ from tropical.extract.device import (Caps, _GOOD_CAPS, _SKEL_CAPS,
                                      subpoly_device)
 
 
-def build_pools(net, caps, eps=1e-4):
+def build_pools(net, caps, eps=1e-4, mode="dist"):
     """Run the device skeleton and pad its buffers into loop-caps pools
     (mirrors subpoly_device's wiring)."""
     import jax.numpy as jnp
 
+    from tropical.extract.device import _dist_pool_k
+
     M = int(net.marks.shape[0])
-    skel_caps = _SKEL_CAPS.get((net.spec, M, eps)) or default_skel_caps(M)
+    skel_caps = (_SKEL_CAPS.get((net.spec, M, eps, mode))
+                 or default_skel_caps(M, mode))
+    dk = _dist_pool_k(np.asarray(net.marks)) if mode == "dist" else 0
     mk = make_skeleton_fn if M <= 128 else make_slab_skeleton_fn
-    skel = mk(net.spec, skel_caps, M, eps)
+    skel = mk(net.spec, skel_caps, M, eps, mode=mode, dist_k=dk)
     Vs, Os, Es, nV0, nE0, _ = skel(net.params, net.marks)
 
     def pad(a, n):
@@ -83,12 +87,14 @@ def main():
     print(f"warm run {warm_total:.2f}s  ({verts.shape[0]} verts, "
           f"{verts.shape[0]/warm_total:.0f} v/s)")
 
+    import os
+
     M = int(net.marks.shape[0])
-    size_key = (net.spec, M, True)
-    caps = _GOOD_CAPS[size_key]
+    mode = os.environ.get("TROPICAL_SKEL_MODE", "dist")
+    caps = _GOOD_CAPS[(net.spec, M, True, mode)]
     print("caps:", caps)
 
-    skel, (Vp, Op, Ep, nV0, nE0) = build_pools(net, caps)
+    skel, (Vp, Op, Ep, nV0, nE0) = build_pools(net, caps, mode=mode)
     force(Ep)
 
     variants = [

@@ -45,10 +45,13 @@ def main():
     _, verts, _ = subpoly_device(net, verbose=False, force=True)
     print(f"warm {__import__('time').time()-t0:.2f}s  {verts.shape[0]} verts")
 
+    import os
+
     M = int(net.marks.shape[0])
-    caps = _GOOD_CAPS[(net.spec, M, True)]
+    mode = os.environ.get("TROPICAL_SKEL_MODE", "dist")
+    caps = _GOOD_CAPS[(net.spec, M, True, mode)]
     print("caps:", caps)
-    skel, (Vp, Op, Ep, nV0, nE0) = build_pools(net, caps)
+    skel, (Vp, Op, Ep, nV0, nE0) = build_pools(net, caps, mode=mode)
     force(Ep)
     fn = make_extract_fn(net.spec, caps, 1e-4, force=True)
     out = fn(net.params, net.marks, Vp, Op, Ep, nV0, nE0)
