@@ -14,6 +14,16 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# keep test runs from polluting the committed TPU-derived caps cache: tests
+# memoize caps for fixture nets (sometimes degenerate, e.g. undertrained
+# CLI runs) and the persist path defaults to the package file
+import tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "TROPICAL_CAPS_FILE",
+    os.path.join(tempfile.mkdtemp(prefix="tropical-test-caps-"),
+                 "caps_cache.json"))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

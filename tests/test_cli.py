@@ -36,10 +36,16 @@ def test_train_cli_end_to_end(tmp_cwd, monkeypatch):
                         lambda n=100000, rng=None: orig_rays(2000, rng))
 
     rc = train_mod.main(["-d", "sphere", "-s", "3", "-m", "small",
-                         "--epochs", "15", "-e", "--gt_res", "24"])
+                         "--epochs", "15", "-e", "--gt_res", "24",
+                         "--extract_every", "14"])
     assert rc == 0
     assert os.path.isfile("meshes/sphere/our_mesh_small_3.ply")
     assert os.path.isfile("models/sphere_small_3.pth.npz")
+    # the evolving complex was rendered at the intermediate extraction
+    # (epoch 14 of 15: late enough that the SDF already has a zero set —
+    # earlier-epoch extractions on this tiny fixture are legitimately empty
+    # and render nothing)
+    assert os.path.isfile("meshes/sphere/training_small_3_epoch014.png")
 
     from tropical.utils.ply import read_ply
 

@@ -1499,8 +1499,10 @@ _SKEL_CAPS: dict = {}
 # program, then the tight-caps program memoized from its high-water marks).
 # Persisting the tight caps lets the next process compile the final program
 # directly — the committed cache file seeds known configs (e.g. the bench).
-_CAPS_FILE = __import__("os").path.join(
-    __import__("os").path.dirname(__file__), "caps_cache.json")
+_CAPS_FILE = __import__("os").environ.get(
+    "TROPICAL_CAPS_FILE",
+    __import__("os").path.join(
+        __import__("os").path.dirname(__file__), "caps_cache.json"))
 _CAPS_LOADED = False
 
 
@@ -1529,7 +1531,11 @@ def _load_persisted_caps() -> None:
     except (OSError, ValueError):
         return
     for k, v in data.get("good", {}).items():
-        _PERSISTED["good"][k] = Caps(**v)
+        c = Caps(**v)
+        # never adopt entries with zero-sized pools (caches written before
+        # the ccap floor could hold them; a 0-cap buffer is a trace error)
+        if min(c.vcap, c.ecap, c.ccap, c.hcap, c.pcap, c.conncap) > 0:
+            _PERSISTED["good"][k] = c
     for k, v in data.get("skel", {}).items():
         _PERSISTED["skel"][k] = tuple(v)
 
@@ -1544,6 +1550,18 @@ def _persist_caps() -> None:
                      for k, v in _PERSISTED["good"].items()},
             "skel": {k: list(v) for k, v in _PERSISTED["skel"].items()}}
     try:
+        # merge-on-write: concurrent processes (bench + tests + ad-hoc runs)
+        # each hold only their own view; a wholesale rewrite would drop keys
+        # another process persisted since this one loaded the file
+        try:
+            with open(_CAPS_FILE) as fh:
+                on_disk = json.load(fh)
+        except (OSError, ValueError):
+            on_disk = {}
+        for sec in ("good", "skel"):
+            merged = dict(on_disk.get(sec, {}))
+            merged.update(data[sec])
+            data[sec] = merged
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_CAPS_FILE))
         with os.fdopen(fd, "w") as fh:
             json.dump(data, fh, indent=1, sort_keys=True)
@@ -1631,7 +1649,11 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         # costs real work each step
         (hws, hwh, hwp, hwc, hwv, hwe, hwb,
          hwfv, hwfb, hwrg, hwt, hwcv, hwg) = (int(x) for x in np.asarray(hw))
-        ccap_t = _round_up(int(hws * 1.15), 4096)
+        # floor at one block: a degenerate run (e.g. an undertrained SDF
+        # whose zero set barely enters the canvas) can record hws == 0, and
+        # a persisted ccap=0 would poison every later net of the same spec
+        # with zero-sized candidate buffers (gather trace error)
+        ccap_t = max(_round_up(int(hws * 1.15), 4096), 4096)
         conncap_t = _round_up(int(hwc * 1.15) + 4096)
         # faces-stage caps: from this run's counts when the fused faces
         # epilogue ran (hwfv > 0), else seeded from the final vertex count

@@ -111,12 +111,28 @@ def evaluate_against_grid_gt(net, our_mesh, our_t, dataset_R, gt_res,
             print(f"{i:4d}, {0:5d}, {0:0.6f}, {0:4.1f}, {t:.2f}")
             continue
         if i == gt_res:
+            if mc_samples.shape[0] == 0 or our_samples.shape[0] == 0:
+                # no ray hits on the pseudo-GT (degenerate/undertrained SDF)
+                # or on our mesh: CD/AD are undefined — zero rows, like the
+                # per-resolution failure path above
+                print(f"Ours, {our_mesh.vertices.shape[0]:5d}, {0:0.6f}, "
+                      f"{0:4.1f}, {our_t:.2f}")
+                print(f"{i:4d}, {mc_mesh.vertices.shape[0]:5d}, {0:0.6f}, "
+                      f"{0:4.1f}, {t:.2f}")
+                continue
             gt_samples, gt_normals, gt_mask = mc_samples, mc_normals, mc_mask
             our_cd = chamfer_distance(our_samples, gt_samples)
             common = our_mask & gt_mask
             our_ad, _ = angular_distance(our_normals[common], gt_normals[common])
             print(f"Ours, {our_mesh.vertices.shape[0]:5d}, {our_cd:0.6f}, "
                   f"{our_ad:4.1f}, {our_t:.2f}")
+
+        if gt_samples is None or mc_samples.shape[0] == 0:
+            # pseudo-GT unavailable (its row failed above) or this baseline
+            # mesh got no ray hits
+            print(f"{i:4d}, {mc_mesh.vertices.shape[0]:5d}, {0:0.6f}, "
+                  f"{0:4.1f}, {t:.2f}")
+            continue
 
         mc_cd = chamfer_distance(mc_samples, gt_samples)
         common = mc_mask & gt_mask
@@ -157,17 +173,35 @@ def main(argv=None):
             print("warning: cannot find a pretrained model for seed "
                   f"({seed})! Training from scratch; for reproduction use a "
                   f"cached SDF at {model_path}[.npz].", flush=True)
-        if args.extract_every > 0:
-            done = 0
-            while done < epochs:
-                span = min(args.extract_every, epochs - done)
-                train(net, training_data, span, BATCH_SIZE)
-                done += span
-                if done < epochs:
-                    print(f"[epoch {done}] intermediate extraction:", end="")
-                    extract_mesh(net, args.force)
-        else:
-            train(net, training_data, epochs, BATCH_SIZE)
+        def _mid_train_extract(done: int) -> None:
+            # extract + render the evolving complex mid-training (the
+            # reference draws it on an interactive canvas, train.py:210-224;
+            # headless here: one PNG snapshot per extraction).  Runs inside
+            # ONE training run via the epoch callback so Adam and the cosine
+            # schedule are never restarted.
+            if done % args.extract_every != 0:
+                return
+            print(f"[epoch {done}] intermediate extraction:", end="")
+            _, ivs, its, _ = extract_mesh(net, args.force)
+            if not ivs.shape[0]:
+                return  # undertrained: no zero set in the canvas yet
+            try:
+                from tropical.stanford.visualize import visualize_mesh
+                snap_dir = f"meshes/{args.dataset}"
+                os.makedirs(snap_dir, exist_ok=True)
+                p = visualize_mesh(
+                    Mesh(np.asarray(ivs) / training_data.R, np.asarray(its)),
+                    os.path.join(snap_dir,
+                                 f"training_{args.model_size}_{seed}"
+                                 f"_epoch{done:03d}.png"),
+                    args.dataset)
+                print(f"[epoch {done}] snapshot: {p}")
+            except Exception as e:  # matplotlib absent etc.
+                print(f"[epoch {done}] snapshot skipped: {e}")
+
+        train(net, training_data, epochs, BATCH_SIZE,
+              epoch_callback=(_mid_train_extract
+                              if args.extract_every > 0 else None))
         print("Finished training.", flush=True)
         if args.cache:
             saved = ckpt.save_params(model_path, net.params)

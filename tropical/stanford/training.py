@@ -71,8 +71,14 @@ def make_train_step(spec: NetSpec, tx, batch_size: int):
 
 
 def train(net, dataset, epochs: int, batch_size: int = 1000, lr: float = 1e-3,
-          verbose: bool = True, resample: bool = True) -> Tuple[dict, float]:
-    """Train ``net`` in place; returns (params, final running loss)."""
+          verbose: bool = True, resample: bool = True,
+          epoch_callback=None) -> Tuple[dict, float]:
+    """Train ``net`` in place; returns (params, final running loss).
+
+    ``epoch_callback(epoch)`` fires after each completed epoch (except the
+    last) with ``net`` synced to the current params — used by the train CLI
+    to extract/render the evolving complex mid-training WITHOUT splitting
+    the run (a split would restart Adam and the cosine schedule per span)."""
     total_steps = int(epochs * len(dataset) / batch_size)
     tx, schedule = make_optimizer(lr, total_steps)
     opt_state = tx.init(net.params)
@@ -94,6 +100,10 @@ def train(net, dataset, epochs: int, batch_size: int = 1000, lr: float = 1e-3,
                 print(f"[{epoch + 1}, {i + 1:5d}] lr: {cur_lr:.4f}, "
                       f"loss: {running / 10:.5f} l1: {float(l1):.5f}")
                 running = 0.0
+        if epoch_callback is not None and epoch + 1 < epochs:
+            net.params = params
+            net.enc.params = params["table"]
+            epoch_callback(epoch + 1)
 
     net.params = params
     net.enc.params = params["table"]
