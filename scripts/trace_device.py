@@ -1,7 +1,11 @@
-"""Capture a jax.profiler trace of one warm device extraction and aggregate
-op-level self-times from the trace events.
+"""Capture a jax.profiler trace of one warm fused device extraction and
+aggregate op-level self-times from the trace events.
 
-    python scripts/trace_device.py [small|medium]
+Reuses the compiled fused program out of the engine's own cache (zero extra
+compiles): run subpoly_device twice to land on tight caps, then trace the
+cached program.
+
+    python scripts/trace_device.py [small|medium|large]
 """
 
 from __future__ import annotations
@@ -9,7 +13,9 @@ from __future__ import annotations
 import glob
 import gzip
 import json
+import os
 import sys
+import time
 from collections import defaultdict
 
 import numpy as np
@@ -29,38 +35,31 @@ def force(x):
 def main():
     import jax
 
-    from scripts.profile_device import build_pools, get_net
-    from tropical.extract.device import _GOOD_CAPS, make_extract_fn, \
-        subpoly_device
+    from scripts.profile_device import get_net
+    from tropical.extract.device import _EXTRACT_CACHE, subpoly_device
 
     size = sys.argv[1] if len(sys.argv) > 1 else "small"
     net = get_net(size)
-    t0 = __import__("time").time()
+    t0 = time.time()
     subpoly_device(net, verbose=False, force=True)  # memoize caps + compile
-    print(f"cold {__import__('time').time()-t0:.1f}s")
-    t0 = __import__("time").time()
+    print(f"cold {time.time() - t0:.1f}s")
+    t0 = time.time()
     _, verts, _ = subpoly_device(net, verbose=False, force=True)
-    print(f"2nd (tight-caps compile) {__import__('time').time()-t0:.1f}s")
-    t0 = __import__("time").time()
-    _, verts, _ = subpoly_device(net, verbose=False, force=True)
-    print(f"warm {__import__('time').time()-t0:.2f}s  {verts.shape[0]} verts")
+    print(f"warm {time.time() - t0:.2f}s  {verts.shape[0]} verts")
 
-    import os
-
-    M = int(net.marks.shape[0])
-    mode = os.environ.get("TROPICAL_SKEL_MODE", "dist")
-    caps = _GOOD_CAPS[(net.spec, M, True, mode)]
-    print("caps:", caps)
-    skel, (Vp, Op, Ep, nV0, nE0) = build_pools(net, caps, mode=mode)
-    force(Ep)
-    fn = make_extract_fn(net.spec, caps, 1e-4, force=True)
-    out = fn(net.params, net.marks, Vp, Op, Ep, nV0, nE0)
+    # the fused skeleton+loop+faces program subpoly_device just ran
+    fused = [fn for key, fn in _EXTRACT_CACHE.items()
+             if isinstance(key, tuple) and key and key[-1] == "fused"
+             and key[0] == net.spec]
+    assert fused, "no cached fused program (did the run fall back to ramp?)"
+    fn = fused[-1]
+    out = fn(net.params, net.marks)
     force(out)
 
     import shutil
     shutil.rmtree("/tmp/jxtrace", ignore_errors=True)
     with jax.profiler.trace("/tmp/jxtrace"):
-        out = fn(net.params, net.marks, Vp, Op, Ep, nV0, nE0)
+        out = fn(net.params, net.marks)
         force(out)
 
     files = glob.glob("/tmp/jxtrace/**/*.trace.json.gz", recursive=True)
@@ -75,7 +74,6 @@ def main():
                 continue
             name = ev.get("name", "")
             dur = ev.get("dur", 0) / 1e3  # us -> ms
-            # keep device lanes only (heuristic: XLA op names)
             pid = ev.get("pid", 0)
             agg[(pid, name.split(".")[0][:60])] += dur
             total += dur
