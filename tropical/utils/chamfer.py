@@ -85,10 +85,31 @@ def get_rays(n: int = 100000, rng: np.random.Generator | None = None):
 
 
 def sample_surface_from_rays(rays_o, rays_d, mesh, return_normal: bool = False):
-    """First-hit surface samples (reference chamfer_distance.py:184-212)."""
-    from tropical.ops.mesh_queries import MeshQuery
+    """First-hit surface samples (reference chamfer_distance.py:184-212).
 
-    mq = MeshQuery(mesh.vertices, mesh.faces)
+    Backend: the TPU brute-force tiles (ops/mesh_queries) up to ~600k
+    triangles; beyond that the C++ host BVH takes over when available —
+    rays x tris grows past 10^11 pair tests there (the MC-512 pseudo-GT is
+    ~1.5M tris) and O(rays * log tris) BVH traversal on the host wins, plus
+    the tunneled v5e worker has twice kernel-faulted on that exact program.
+    TROPICAL_RAYS=tpu|host overrides.
+    """
+    import os
+
+    backend = os.environ.get("TROPICAL_RAYS", "auto")
+    n_tris = int(np.asarray(mesh.faces).shape[0])
+    mq = None
+    if backend != "tpu" and (backend == "host" or n_tris > 600_000):
+        try:
+            from tropical.utils.bvh_host import HostBVH
+
+            mq = HostBVH(mesh.vertices, mesh.faces)
+        except Exception:
+            mq = None  # no toolchain: fall through to the TPU path
+    if mq is None:
+        from tropical.ops.mesh_queries import MeshQuery
+
+        mq = MeshQuery(mesh.vertices, mesh.faces)
     positions, face_id, _ = mq.ray_trace(rays_o, rays_d)
     mask = face_id >= 0
     hit_positions = positions[mask]
