@@ -217,10 +217,11 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
     mesh: a jax.sharding.Mesh fans every batched forward (candidate/corner
     evaluations — the dominant FLOPs of each insertion step) out over all its
     devices; results are bit-identical to single-device (the per-row math is
-    unchanged, only placement differs).  Implies the host engine: the fused
-    single-dispatch engine is single-chip.
+    unchanged, only placement differs).  Implies the host engine for >1
+    device: the fused single-dispatch engine is single-chip, so a 1-device
+    mesh routes straight to it instead of paying the host loop.
     """
-    if mesh is not None:
+    if mesh is not None and mesh.size > 1:
         net = net.sharded(mesh)
         engine = "host"
     if engine == "auto":
