@@ -127,6 +127,17 @@ def evaluate_against_grid_gt(net, our_mesh, our_t, dataset_R, gt_res,
             print(f"Ours, {our_mesh.vertices.shape[0]:5d}, {our_cd:0.6f}, "
                   f"{our_ad:4.1f}, {our_t:.2f}")
 
+        if i == gt_res:
+            # the GT row scores the pseudo-GT against itself: identically
+            # zero (the reference prints literal zeros here too,
+            # logs/run_small.log:13) — computing a ~80k x 80k self-chamfer
+            # for a known 0 wastes minutes of device time
+            print(f"{i:4d}, {mc_mesh.vertices.shape[0]:5d}, {0:0.6f}, "
+                  f"{0:4.1f}, {t:.2f}")
+            mc_mesh.export(os.path.join(out_dir,
+                                        f"{method}{i:03d}_mesh_{tag}.ply"))
+            continue
+
         if gt_samples is None or mc_samples.shape[0] == 0:
             # pseudo-GT unavailable (its row failed above) or this baseline
             # mesh got no ray hits
