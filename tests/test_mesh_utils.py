@@ -64,6 +64,28 @@ def test_ray_trace_sphere():
     np.testing.assert_allclose(r, 1.0, atol=0.02)
 
 
+def test_sample_surface_backend_parity(monkeypatch):
+    """The host-BVH routing (huge meshes / TROPICAL_RAYS=host) returns the
+    same hits as the TPU brute-force path."""
+    import pytest
+
+    from tropical.utils import bvh_host
+
+    if not bvh_host.available():
+        pytest.skip("no C++ toolchain for the host BVH")
+    mesh = icosphere(3)
+    rays_o, rays_d = get_rays(256)
+    monkeypatch.setenv("TROPICAL_RAYS", "tpu")
+    p1, n1, m1 = sample_surface_from_rays(rays_o, rays_d, mesh,
+                                          return_normal=True)
+    monkeypatch.setenv("TROPICAL_RAYS", "host")
+    p2, n2, m2 = sample_surface_from_rays(rays_o, rays_d, mesh,
+                                          return_normal=True)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+    np.testing.assert_allclose(n1, n2, atol=1e-5)
+
+
 def test_sample_surface_normals_outward():
     mesh = icosphere(3)
     rays_o, rays_d = get_rays(256)
