@@ -145,10 +145,22 @@ def grid_tetrahedra(nx: int, n: int) -> np.ndarray:
 def _sdf_points(net, pts: np.ndarray, batch: int = 1 << 18) -> np.ndarray:
     import jax.numpy as jnp
 
+    import jax
+
+    # Remote (TPU) compiles cost minutes: pad every chunk to the ONE fixed
+    # batch shape so the whole eval ladder (~10 grid resolutions) reuses a
+    # single compiled forward.  On CPU, compiles are cheap and the padding
+    # would dominate tiny test grids — bucket to powers of two instead.
+    fixed = jax.default_backend() != "cpu"
     out = np.empty(pts.shape[0], np.float32)
     for i in range(0, pts.shape[0], batch):
         chunk = pts[i:i + batch]
-        out[i:i + chunk.shape[0]] = np.asarray(net.sdf(jnp.asarray(chunk)))[:, 0]
+        n = chunk.shape[0]
+        tgt = batch if fixed else max(4096, 1 << (n - 1).bit_length())
+        if n < tgt:
+            chunk = np.concatenate(
+                [chunk, np.zeros((tgt - n, chunk.shape[1]), chunk.dtype)])
+        out[i:i + n] = np.asarray(net.sdf(jnp.asarray(chunk)))[:n, 0]
     return out
 
 
