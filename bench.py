@@ -84,15 +84,20 @@ def fused_cost_analysis(net, force: bool):
     try:
         from tropical.extract import device as dv
 
-        for key, fn in dv._EXTRACT_CACHE.items():
-            if (isinstance(key, tuple) and key and key[-1] == "fused"
-                    and key[0] == net.spec and key[3] is force):
-                ca = fn.lower(net.params, net.marks).compile().cost_analysis()
-                if isinstance(ca, list):  # older jax returns [dict]
-                    ca = ca[0]
-                flops = float(ca.get("flops", 0.0))
-                nbytes = float(ca.get("bytes accessed", 0.0))
-                return flops, nbytes
+        # the LAST matching entry is the program the timed runs execute
+        # (warm-up may compile a persisted-caps program first, then a
+        # tight-caps one after _memoize_tight re-derives caps)
+        matches = [fn for key, fn in dv._EXTRACT_CACHE.items()
+                   if (isinstance(key, tuple) and key and key[-1] == "fused"
+                       and key[0] == net.spec and key[3] is force)]
+        if matches:
+            fn = matches[-1]
+            ca = fn.lower(net.params, net.marks).compile().cost_analysis()
+            if isinstance(ca, list):  # older jax returns [dict]
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            nbytes = float(ca.get("bytes accessed", 0.0))
+            return flops, nbytes
     except Exception:
         pass
     return None, None

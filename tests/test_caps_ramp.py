@@ -53,6 +53,26 @@ def test_caps_retry_ramp_converges(trained_net):
     assert dv._GOOD_CAPS.get(key) == memo, "caps must be hysteresis-stable"
 
 
+def test_caps_exhausted_falls_back_to_host(trained_net, monkeypatch):
+    """If the ramp runs out of attempts, subpoly must finish on the host
+    engine instead of raising (capacity, not correctness)."""
+    from tropical.extract import device as dv
+    from tropical.extract import subdivide as sp
+
+    net = trained_net
+    _, Vh, Th = sp.subpoly(net, 3, 1.2, force=True, verbose=False,
+                           engine="host")
+
+    def exhausted(*a, **k):
+        raise dv.CapsExhausted("test: simulated ramp exhaustion")
+
+    monkeypatch.setattr(dv, "subpoly_device", exhausted)
+    _, Vf, Tf = sp.subpoly(net, 3, 1.2, force=True, verbose=False,
+                           engine="device")
+    assert Vf.shape == Vh.shape
+    np.testing.assert_allclose(_sorted(Vf), _sorted(Vh), atol=0)
+
+
 def test_curved_cvcap_ramp(trained_net):
     """Force=False with a starved curved side buffer: OVF_Q must ramp cvcap
     up and converge to the unstarved result."""

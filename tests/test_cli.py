@@ -44,8 +44,14 @@ def test_train_cli_end_to_end(tmp_cwd, monkeypatch):
     # the evolving complex was rendered at the intermediate extraction
     # (epoch 14 of 15: late enough that the SDF already has a zero set —
     # earlier-epoch extractions on this tiny fixture are legitimately empty
-    # and render nothing)
-    assert os.path.isfile("meshes/sphere/training_small_3_epoch014.png")
+    # and render nothing).  train.py deliberately degrades to a no-op
+    # snapshot without matplotlib, so only assert where it can render.
+    try:
+        import matplotlib  # noqa: F401
+
+        assert os.path.isfile("meshes/sphere/training_small_3_epoch014.png")
+    except ImportError:
+        pass
 
     from tropical.utils.ply import read_ply
 

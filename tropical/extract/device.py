@@ -60,6 +60,11 @@ OVF_Q = 1024  # curved-candidate compaction buffer (force=False path)
 OVF_G = 2048  # faces-stage region polygon width (gcap)
 
 
+class CapsExhausted(RuntimeError):
+    """The root-cause retry ramp ran out of attempts.  Capacity, not
+    correctness: callers (subpoly) fall back to the host engine."""
+
+
 @dataclass(frozen=True)
 class Caps:
     vcap: int            # vertex pool (live maximum + one step's appends)
@@ -1798,7 +1803,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 _memoize_tight(hw, caps, nV)
                 return _finish(V, OUT, E, nV, nE, nV_pre, nE_pre,
                                tris=tris, n_tris=n_tris)
-            if ovf & ~(OVF_F | OVF_G) == 0:
+            if ovf != 0 and ovf & ~(OVF_F | OVF_G) == 0:
                 # faces-stage-only capacity miss: grow just those buffers
                 # and retry the fused program (the loop itself was fine)
                 caps = dataclasses.replace(
@@ -1871,7 +1876,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         pad = jnp.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
         return jnp.concatenate([a, pad])
 
-    for _attempt in range(6):
+    for _attempt in range(9):
         pkey = ("pools", Vs.shape[0], Es.shape[0], caps.vcap, caps.ecap)
         if pkey not in _EXTRACT_CACHE:
             _EXTRACT_CACHE[pkey] = jax.jit(
@@ -1943,6 +1948,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         if verbose:
             print(f"[device-extract] overflow mask {ovf}; retrying with {caps}")
     else:
-        raise RuntimeError(f"extraction exceeded caps after retries: {caps}")
+        raise CapsExhausted(
+            f"extraction exceeded caps after retries: {caps}")
 
     return _finish(V, OUT, E, nV, nE, nV_pre, nE_pre)

@@ -229,12 +229,19 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
 
         engine = "device" if device_engine_supports(net) else "host"
     if engine == "device":
-        from tropical.extract.device import subpoly_device
+        from tropical.extract.device import CapsExhausted, subpoly_device
 
         if verbose:
             print()
             print("# of vertices and edges = ", end="")
-        return subpoly_device(net, d, size, eps, verbose=verbose, force=force)
+        try:
+            return subpoly_device(net, d, size, eps, verbose=verbose,
+                                  force=force)
+        except CapsExhausted as e:
+            # capacity, not correctness: the host loop has no static caps —
+            # finish there (slower) rather than failing the extraction
+            if verbose:
+                print(f"\n[extract] {e}; host-engine fallback")
 
     with PHASES("skeleton"):
         vertices, edges = grid_skeleton(net)

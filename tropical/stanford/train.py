@@ -111,23 +111,28 @@ def evaluate_against_grid_gt(net, our_mesh, our_t, dataset_R, gt_res,
             print(f"{i:4d}, {0:5d}, {0:0.6f}, {0:4.1f}, {t:.2f}")
             continue
         if i == gt_res:
-            if mc_samples.shape[0] == 0 or our_samples.shape[0] == 0:
-                # no ray hits on the pseudo-GT (degenerate/undertrained SDF)
-                # or on our mesh: CD/AD are undefined — zero rows, like the
-                # per-resolution failure path above
+            if mc_samples.shape[0] == 0:
+                # no ray hits on the pseudo-GT (degenerate/undertrained
+                # SDF): every CD/AD in the table is undefined — zero rows,
+                # like the per-resolution failure path above
                 print(f"Ours, {our_mesh.vertices.shape[0]:5d}, {0:0.6f}, "
                       f"{0:4.1f}, {our_t:.2f}")
                 print(f"{i:4d}, {mc_mesh.vertices.shape[0]:5d}, {0:0.6f}, "
                       f"{0:4.1f}, {t:.2f}")
                 continue
+            # the pseudo-GT is valid even if OUR mesh got no ray hits:
+            # keep it so the baseline rows below still score against it
             gt_samples, gt_normals, gt_mask = mc_samples, mc_normals, mc_mask
-            our_cd = chamfer_distance(our_samples, gt_samples)
-            common = our_mask & gt_mask
-            our_ad, _ = angular_distance(our_normals[common], gt_normals[common])
-            print(f"Ours, {our_mesh.vertices.shape[0]:5d}, {our_cd:0.6f}, "
-                  f"{our_ad:4.1f}, {our_t:.2f}")
-
-        if i == gt_res:
+            if our_samples.shape[0] == 0:
+                print(f"Ours, {our_mesh.vertices.shape[0]:5d}, {0:0.6f}, "
+                      f"{0:4.1f}, {our_t:.2f}")
+            else:
+                our_cd = chamfer_distance(our_samples, gt_samples)
+                common = our_mask & gt_mask
+                our_ad, _ = angular_distance(our_normals[common],
+                                             gt_normals[common])
+                print(f"Ours, {our_mesh.vertices.shape[0]:5d}, "
+                      f"{our_cd:0.6f}, {our_ad:4.1f}, {our_t:.2f}")
             # the GT row scores the pseudo-GT against itself: identically
             # zero (the reference prints literal zeros here too,
             # logs/run_small.log:13) — computing a ~80k x 80k self-chamfer

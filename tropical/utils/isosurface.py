@@ -149,17 +149,16 @@ def _sdf_points(net, pts: np.ndarray, batch: int = 1 << 18) -> np.ndarray:
 
     # Remote (TPU) compiles cost minutes: pad every chunk to the ONE fixed
     # batch shape so the whole eval ladder (~10 grid resolutions) reuses a
-    # single compiled forward.  On CPU, compiles are cheap and the padding
-    # would dominate tiny test grids — bucket to powers of two instead.
+    # single compiled forward.  On CPU, compiles are cheap — net.sdf's own
+    # pow-2 bucketing (padded_apply) already bounds the shape count.
     fixed = jax.default_backend() != "cpu"
     out = np.empty(pts.shape[0], np.float32)
     for i in range(0, pts.shape[0], batch):
         chunk = pts[i:i + batch]
         n = chunk.shape[0]
-        tgt = batch if fixed else max(4096, 1 << (n - 1).bit_length())
-        if n < tgt:
+        if fixed and n < batch:
             chunk = np.concatenate(
-                [chunk, np.zeros((tgt - n, chunk.shape[1]), chunk.dtype)])
+                [chunk, np.zeros((batch - n, chunk.shape[1]), chunk.dtype)])
         out[i:i + n] = np.asarray(net.sdf(jnp.asarray(chunk)))[:n, 0]
     return out
 
