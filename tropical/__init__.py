@@ -24,6 +24,18 @@ if _os.environ.get("TROPICAL_NO_COMPILE_CACHE") != "1":
                        _os.path.expanduser("~/.cache/tropical-xla"))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# f32 matmuls must BE f32: TPUs lower default-precision f32 matmuls to
+# one-pass bf16 on the MXU (~0.4% relative error).  The geometry here lives
+# on CANCELLATION — sdf values near zero are differences of O(1) terms, and
+# the chamfer MXU trick |x|^2+|y|^2-2x.y needs the cross term to ~1e-6 —
+# so bf16 passes inflate eval CD ~10x (measured: 0.0218 vs 0.0024 on the
+# same meshes) and blur root brackets.  The extraction engine is
+# gather-bound (ROADMAP.md), so the 6-pass f32 MXU cost is noise.
+# The reference runs CUDA fp32 cuBLAS (exact f32) and never faces this.
+import jax as _jax2
+
+_jax2.config.update("jax_default_matmul_precision", "highest")
+
 from tropical.core.hashgrid import HashGridSpec, Tropical, TropicalHashGrid
 from tropical.version import __version__
 

@@ -47,7 +47,7 @@ def min_dist_xla(x, y, by=BY):
         best_d2, best_j = carry
         yb, base = blk
         y2 = (yb * yb).sum(-1)
-        cross = x @ yb.T  # MXU
+        cross = jnp.dot(x, yb.T, precision=jax.lax.Precision.HIGHEST)  # MXU, 6-pass f32
         d2 = x2[:, None] + y2[None, :] - 2.0 * cross
         dmin = d2.min(-1)
         jmin = d2.argmin(-1).astype(jnp.int32) + base
@@ -74,7 +74,8 @@ def _min_dist_kernel(x_ref, y_ref, out_ref):
     y = y_ref[:]                    # [BY_panel, 3]
     x2 = (x * x).sum(-1)
     y2 = (y * y).sum(-1)
-    cross = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(x, y.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     d2 = x2[:, None] + y2[None, :] - 2.0 * cross
     out_ref[:] = d2.argmin(-1).astype(jnp.int32)
 

@@ -113,6 +113,21 @@ class StanfordDataset:
         points = vertices[perm] + (
             self.rng.random((len(self), 3), np.float32) * d - d / 2)
 
+        if self.name.lower() in _PROCEDURAL:
+            # Procedural datasets (our extension; not in the reference) mix
+            # in 20% uniform-volume samples over the extraction canvas.  The
+            # surface-jitter-only recipe leaves everything farther than d/2
+            # from the surface unsupervised, and a tanh SDF head is free to
+            # graze zero there — measured on the sphere checkpoint: a patchy
+            # phantom shell at r~0.57 (net coords) that both MC-512 and the
+            # exact extraction faithfully mesh, inflating eval CD ~10x
+            # (first-hit rays land on phantom slivers).  Far-field sign
+            # supervision (labels still clamped at ±0.2 in the loss) removes
+            # the graze without touching the reference recipe for the scans.
+            n_vol = len(self) // 5
+            vol = (self.rng.random((n_vol, 3), np.float32) * 2.4 - 1.2)
+            points[:n_vol] = vol
+
         self.X = points.astype(np.float32)
         self.Y = self.query.signed_distance(points).astype(np.float32)
 
