@@ -114,7 +114,9 @@ float BVH::closest2(V3 p) const {
   while (sp) {
     const Node& n = nodes[stack[--sp]];
     if (n.box.dist2(p) >= best) continue;
-    if (n.count) {
+    if (n.left < 0) {  // leaf by child sentinel: a 0-tri mesh has an
+                       // empty-leaf root, and `count` can't tell it apart
+                       // from an internal node
       for (int i = n.start; i < n.start + n.count; ++i) {
         V3 a = v0[i];
         best = std::min(best, tri_dist2(p, a, add(a, e1[i]), add(a, e2[i])));
@@ -156,7 +158,7 @@ bool BVH::trace(V3 o, V3 d, float& t_out, int& id_out) const {
   while (sp) {
     const Node& n = nodes[stack[--sp]];
     if (n.box.ray_hit(o, inv, best) >= best) continue;
-    if (n.count) {
+    if (n.left < 0) {  // leaf (see closest2: count==0 root)
       for (int i = n.start; i < n.start + n.count; ++i) {
         float t;
         if (mt_ray(o, d, v0[i], e1[i], e2[i], t) && t < best) {
@@ -183,7 +185,7 @@ int BVH::count_hits(V3 o, V3 d) const {
   while (sp) {
     const Node& n = nodes[stack[--sp]];
     if (n.box.ray_hit(o, inv, 1e30f) >= 1e30f) continue;
-    if (n.count) {
+    if (n.left < 0) {  // leaf (see closest2: count==0 root)
       for (int i = n.start; i < n.start + n.count; ++i) {
         float t;
         if (mt_ray(o, d, v0[i], e1[i], e2[i], t)) ++hits;

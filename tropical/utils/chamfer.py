@@ -87,19 +87,32 @@ def get_rays(n: int = 100000, rng: np.random.Generator | None = None):
 def sample_surface_from_rays(rays_o, rays_d, mesh, return_normal: bool = False):
     """First-hit surface samples (reference chamfer_distance.py:184-212).
 
-    Backend: the TPU brute-force tiles (ops/mesh_queries) up to ~600k
-    triangles; beyond that the C++ host BVH takes over when available —
-    rays x tris grows past 10^11 pair tests there (the MC-512 pseudo-GT is
-    ~1.5M tris) and O(rays * log tris) BVH traversal on the host wins, plus
-    the tunneled v5e worker has twice kernel-faulted on that exact program.
-    TROPICAL_RAYS=tpu|host overrides.
+    Backend: the C++ host BVH by default — the eval ladder traces ~11
+    meshes whose pow-2 triangle buckets each trigger a fresh XLA compile of
+    the brute-force tiles (measured ~400-800 s per bucket through the
+    tunnel, turning one eval into hours), the MC-512 pseudo-GT's ~2M tris
+    would be 10^11 pair tests on the brute-force path anyway, and the
+    tunneled v5e worker has twice kernel-faulted on exactly that program.
+    The host BVH is the same Möller-Trumbore, O(rays * log tris), seconds
+    for 100k rays.  TROPICAL_RAYS=tpu forces the device tiles (parity
+    tests); =host forces the BVH.
     """
     import os
 
+    if int(np.asarray(mesh.faces).shape[0]) == 0:
+        # degenerate mesh (e.g. an undertrained SDF's empty MC row in the
+        # eval ladder): no hits — also keeps the normals gather below from
+        # indexing an empty faces array
+        n = np.asarray(rays_o).shape[0]
+        empty = np.zeros((0, 3), np.float32)
+        mask = np.zeros(n, bool)
+        if return_normal:  # normals are per-ray in the hit path below
+            return empty, np.zeros((n, 3), np.float64), mask
+        return empty
+
     backend = os.environ.get("TROPICAL_RAYS", "auto")
-    n_tris = int(np.asarray(mesh.faces).shape[0])
     mq = None
-    if backend != "tpu" and (backend == "host" or n_tris > 600_000):
+    if backend != "tpu":
         try:
             from tropical.utils.bvh_host import HostBVH
 

@@ -159,7 +159,9 @@ def _sdf_points(net, pts: np.ndarray, batch: int = 1 << 18) -> np.ndarray:
         if fixed and n < batch:
             chunk = np.concatenate(
                 [chunk, np.zeros((batch - n, chunk.shape[1]), chunk.dtype)])
-        out[i:i + n] = np.asarray(net.sdf(jnp.asarray(chunk)))[:n, 0]
+        # slice to the sdf column ON DEVICE: the pull below is the eval
+        # ladder's bandwidth bill through the ~40 MB/s tunnel — halve it
+        out[i:i + n] = np.asarray(net.sdf(jnp.asarray(chunk))[:, 0])[:n]
     return out
 
 
