@@ -161,7 +161,16 @@ def main():
     for metric, size, force, baseline_s, note, runs in CONFIGS:
         if only and size not in only.split(","):
             continue
-        run_config(metric, size, force, baseline_s, note, runs)
+        try:
+            run_config(metric, size, force, baseline_s, note, runs)
+        except Exception as e:  # pragma: no cover - device-state failures
+            # never let one config (e.g. a caps re-ramp hitting a degraded
+            # TPU worker) abort the suite before the flagship small config
+            # prints; report the failure on stderr and move on
+            import sys
+            import traceback
+            print(f"bench config {metric} failed: {e!r}", file=sys.stderr)
+            traceback.print_exc()
 
 
 if __name__ == "__main__":
