@@ -93,3 +93,25 @@ def test_mc_mt_cd_parity(trained_net):
     assert mc.vertices.shape[0] > 100
     cd = chamfer_distance(np.asarray(mc.vertices), np.asarray(mt.vertices))
     assert cd < 2 * 2.4 / (res - 1)  # within ~a cell diagonal
+
+
+def test_grid_sdf_device_synthesis_matches_host_points(trained_net):
+    """The device-synthesized grid evaluator (_grid_sdf_fn: points built from
+    iota + dynamic res/canvas/lin0 scalars, no coordinate h2d) must agree
+    with net.sdf over host-built linspace points to f32 rounding."""
+    import jax.numpy as jnp
+
+    from tropical.utils.isosurface import _grid_sdf_fn
+
+    res, canvas = 9, 1.2
+    batch = 128
+    fn = _grid_sdf_fn(trained_net.spec, batch)
+    s = np.linspace(-canvas, canvas, res, dtype=np.float32)
+    for lin0 in (0, res ** 3 - batch):  # front and tail of the grid
+        dev = np.asarray(fn(trained_net.params, res, canvas, lin0))
+        idx = lin0 + np.arange(batch)
+        pts = np.stack([s[idx // (res * res)], s[(idx // res) % res],
+                        s[idx % res]], axis=-1)
+        host = np.asarray(trained_net.sdf(jnp.asarray(pts))[:, 0])
+        # identical gather cells + f32 coordinate rounding only
+        np.testing.assert_allclose(dev, host, atol=2e-5)

@@ -142,6 +142,65 @@ def grid_tetrahedra(nx: int, n: int) -> np.ndarray:
     return corner_ids[:, CUBE_TETS].reshape(-1, 4).astype(np.int64)
 
 
+_GRID_SDF_CACHE = {}
+
+
+def _grid_sdf_fn(spec, batch: int):
+    """One fixed-shape jitted program: SDF values for ``batch`` consecutive
+    row-major linear indices of ANY res^3 grid over [-canvas, canvas]^3.
+
+    The grid points are synthesized ON DEVICE from the linear index (res,
+    canvas and lin0 are dynamic scalars), so a grid sweep ships a few scalars
+    per step through the host<->TPU tunnel instead of uploading coordinates
+    (~570 MB for one 512^3 pseudo-GT ladder; h2d is the tunnel's weak
+    direction) — and every resolution and slab reuses the SAME compiled
+    program (remote compiles cost minutes)."""
+    key = (spec, batch)
+    fn = _GRID_SDF_CACHE.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        from tropical.core.net import net_sdf
+
+        @jax.jit
+        def f(params, res, canvas, lin0):
+            idx = lin0 + jnp.arange(batch, dtype=jnp.int32)
+            r2 = res * res
+            ijk = jnp.stack([idx // r2, (idx // res) % res, idx % res],
+                            axis=-1)
+            step = (2.0 * canvas) / (res - 1)  # f32: canvas is f32, res i32
+            pts = ijk.astype(jnp.float32) * step - canvas
+            return net_sdf(spec, params, pts)[:, 0]
+
+        fn = _GRID_SDF_CACHE[key] = f
+    return fn
+
+
+def _sdf_grid_vals(net, res: int, canvas: float, lin0: int, count: int,
+                   batch: int = 1 << 18) -> np.ndarray:
+    """SDF values for row-major linear indices [lin0, lin0+count) of the
+    res^3 grid over [-canvas, canvas]^3 (device-synthesized points)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        # compiles are cheap here and tests use tiny grids: host points +
+        # net.sdf's own pow-2 bucketing beat one 262144-wide padded program
+        s = np.linspace(-canvas, canvas, res, dtype=np.float32)
+        idx = lin0 + np.arange(count)
+        pts = np.stack([s[idx // (res * res)], s[(idx // res) % res],
+                        s[idx % res]], axis=-1)
+        return _sdf_points(net, pts)
+
+    fn = _grid_sdf_fn(net.spec, batch)
+    out = np.empty(count, np.float32)
+    for i in range(0, count, batch):
+        n = min(batch, count - i)
+        vals = fn(net.params, res, float(canvas), lin0 + i)
+        out[i:i + n] = np.asarray(vals[:n])
+    return out
+
+
 def _sdf_points(net, pts: np.ndarray, batch: int = 1 << 18) -> np.ndarray:
     import jax.numpy as jnp
 
@@ -167,12 +226,10 @@ def _sdf_points(net, pts: np.ndarray, batch: int = 1 << 18) -> np.ndarray:
 
 def sdf_grid(net, res: int, canvas: float) -> np.ndarray:
     """Evaluate net.sdf on a res^3 grid (reference train.py:278-283)."""
-    s = np.linspace(-canvas, canvas, res, dtype=np.float32)
     out = np.empty((res, res, res), np.float32)
     for i in range(res):  # x-plane slabs bound host memory at res=512
-        gy, gz = np.meshgrid(s, s, indexing="ij")
-        pts = np.stack([np.full_like(gy, s[i]), gy, gz], -1).reshape(-1, 3)
-        out[i] = _sdf_points(net, pts).reshape(res, res)
+        out[i] = _sdf_grid_vals(net, res, canvas, i * res * res,
+                                res * res).reshape(res, res)
     return out
 
 
@@ -193,7 +250,9 @@ def run_marching_tetrahedra(net, res: int, canvas: float, R: float = 1.0,
         nx = x1 - x0 + 1
         gx, gy, gz = np.meshgrid(s[x0:x1 + 1], s, s, indexing="ij")
         pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-        sdf = _sdf_points(net, pts)
+        # pts stay host-side for the tet geometry; the SDF values come from
+        # device-synthesized grid points (no coordinate h2d)
+        sdf = _sdf_grid_vals(net, res, canvas, x0 * res * res, nx * res * res)
         tets = grid_tetrahedra(nx, res)
         verts, tris = marching_tetrahedra(pts.astype(np.float64), tets, sdf)
         if len(verts):

@@ -223,7 +223,7 @@ def run_marching_cubes(net, res: int, canvas: float, R: float = 1.0,
     divided by the dataset scale R).  x-slab streamed like the MT baseline
     so a 512^3 field never materializes at once; slab-boundary duplicates
     (bitwise-identical positions) are deduplicated at the end."""
-    from tropical.utils.isosurface import _sdf_points
+    from tropical.utils.isosurface import _sdf_grid_vals
     from tropical.utils.ply import Mesh
 
     s = np.linspace(-canvas, canvas, res, dtype=np.float32)
@@ -231,9 +231,10 @@ def run_marching_cubes(net, res: int, canvas: float, R: float = 1.0,
     for x0 in range(0, res - 1, slab):
         x1 = min(res - 1, x0 + slab)
         nxs = x1 - x0 + 1
-        gx, gy, gz = np.meshgrid(s[x0:x1 + 1], s, s, indexing="ij")
-        pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-        vals = _sdf_points(net, pts).reshape(nxs, res, res)
+        # SDF values from device-synthesized grid points (no coordinate
+        # h2d); the MC geometry below only needs the 1-D axis arrays
+        vals = _sdf_grid_vals(net, res, canvas, x0 * res * res,
+                              nxs * res * res).reshape(nxs, res, res)
         verts, tris = marching_cubes(vals, s[x0:x1 + 1], s, s)
         if len(verts):
             base = sum(len(v) for v in all_verts)
