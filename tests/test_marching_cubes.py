@@ -115,3 +115,52 @@ def test_grid_sdf_device_synthesis_matches_host_points(trained_net):
         host = np.asarray(trained_net.sdf(jnp.asarray(pts))[:, 0])
         # identical gather cells + f32 coordinate rounding only
         np.testing.assert_allclose(dev, host, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_signs_path_bitwise_matches_dense(seed):
+    """marching_cubes_signs (sign grid + crossing-endpoint value oracle — the
+    TPU path that avoids pulling the full f32 grid) must reproduce the dense
+    marching_cubes output bitwise."""
+    from tropical.utils.marching_cubes import marching_cubes_signs
+
+    rng = np.random.default_rng(seed)
+    res = 10
+    vals = rng.normal(size=(res, res, res))
+    vals[[0, -1], :, :] = vals[:, [0, -1], :] = vals[:, :, [0, -1]] = -1.0
+    s = np.linspace(-1, 1, res)
+    dv, dt = marching_cubes(vals, s, s, s)
+
+    calls = []
+
+    def vals_at(lin):
+        calls.append(lin.shape[0])
+        return vals.reshape(-1)[lin]
+
+    sv, st = marching_cubes_signs(vals > 0, s, s, s, vals_at)
+    np.testing.assert_array_equal(dv, sv)
+    np.testing.assert_array_equal(dt, st)
+    # fetched exactly the two endpoints of each unique crossing edge
+    assert sum(calls) == 2 * dv.shape[0]
+
+
+def test_sign_and_vals_at_programs_match_dense_grid(trained_net):
+    """Device-side packed-sign and values-at-indices programs must agree with
+    the dense grid evaluator (CPU backend exercises the host equivalents;
+    the jitted variants share the exact same synthesis formula)."""
+    from tropical.utils.isosurface import (_grid_sign_fn, _grid_vals_at_fn,
+                                           _sdf_grid_vals)
+
+    res, canvas = 9, 1.2
+    dense = _sdf_grid_vals(trained_net, res, canvas, 0, res ** 3)
+
+    batch = (res ** 3 + 7) // 8 * 8  # one call covering the whole grid
+    sfn = _grid_sign_fn(trained_net.spec, batch)
+    packed = np.asarray(sfn(trained_net.params, res, canvas, 0))
+    signs = np.unpackbits(packed, bitorder="little")[:res ** 3]
+    np.testing.assert_array_equal(signs.astype(bool), dense > 0)
+
+    idx = np.asarray([0, 1, res, res * res, res ** 3 - 1], np.int32)
+    vfn = _grid_vals_at_fn(trained_net.spec, idx.shape[0])
+    at = np.asarray(vfn(trained_net.params, res, canvas, idx))
+    np.testing.assert_allclose(at, dense[idx], atol=1e-6)

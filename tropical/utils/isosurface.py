@@ -201,6 +201,105 @@ def _sdf_grid_vals(net, res: int, canvas: float, lin0: int, count: int,
     return out
 
 
+def _grid_sign_fn(spec, batch: int):
+    """Jitted program: PACKED sign bits (sdf > 0) for ``batch`` consecutive
+    row-major linear indices of any res^3 grid — uint8[batch/8], bit i of
+    byte b = point ``lin0 + 8*b + i``.  The d2h pull is batch/8 bytes instead
+    of batch*4: a 512^3 pseudo-GT sweep ships ~17 MB of signs through the
+    ~40 MB/s tunnel instead of ~540 MB of f32 values (hours -> seconds);
+    exact f32 values are then fetched only at crossing-edge endpoints
+    (:func:`_sdf_grid_vals_at`), which is all marching cubes consumes."""
+    assert batch % 8 == 0
+    key = (spec, batch, "sign")
+    fn = _GRID_SDF_CACHE.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        from tropical.core.net import net_sdf
+
+        @jax.jit
+        def f(params, res, canvas, lin0):
+            idx = lin0 + jnp.arange(batch, dtype=jnp.int32)
+            r2 = res * res
+            ijk = jnp.stack([idx // r2, (idx // res) % res, idx % res],
+                            axis=-1)
+            step = (2.0 * canvas) / (res - 1)
+            pts = ijk.astype(jnp.float32) * step - canvas
+            bits = (net_sdf(spec, params, pts)[:, 0] > 0).astype(jnp.uint8)
+            return (bits.reshape(-1, 8)
+                    << jnp.arange(8, dtype=jnp.uint8)).sum(-1).astype(jnp.uint8)
+
+        fn = _GRID_SDF_CACHE[key] = f
+    return fn
+
+
+def _sdf_grid_signs(net, res: int, canvas: float, lin0: int, count: int,
+                    batch: int = 1 << 21) -> np.ndarray:
+    """bool[count]: sdf > 0 at row-major linear indices [lin0, lin0+count)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return _sdf_grid_vals(net, res, canvas, lin0, count) > 0
+
+    fn = _grid_sign_fn(net.spec, batch)
+    out = np.empty(count, bool)
+    for i in range(0, count, batch):
+        n = min(batch, count - i)
+        packed = np.asarray(fn(net.params, res, float(canvas), lin0 + i))
+        out[i:i + n] = np.unpackbits(packed, bitorder="little")[:n]
+    return out
+
+
+def _grid_vals_at_fn(spec, batch: int):
+    """Jitted program: f32 SDF values at ``batch`` arbitrary row-major linear
+    indices of a res^3 grid (points synthesized on device)."""
+    key = (spec, batch, "at")
+    fn = _GRID_SDF_CACHE.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        from tropical.core.net import net_sdf
+
+        @jax.jit
+        def f(params, res, canvas, idx):
+            r2 = res * res
+            ijk = jnp.stack([idx // r2, (idx // res) % res, idx % res],
+                            axis=-1)
+            step = (2.0 * canvas) / (res - 1)
+            pts = ijk.astype(jnp.float32) * step - canvas
+            return net_sdf(spec, params, pts)[:, 0]
+
+        fn = _GRID_SDF_CACHE[key] = f
+    return fn
+
+
+def _sdf_grid_vals_at(net, res: int, canvas: float, lin_idx: np.ndarray,
+                      batch: int = 1 << 18) -> np.ndarray:
+    """f32[n] SDF values at the given row-major linear grid indices."""
+    import jax
+
+    lin_idx = np.asarray(lin_idx)
+    if jax.default_backend() == "cpu":
+        s = np.linspace(-canvas, canvas, res, dtype=np.float32)
+        pts = np.stack([s[lin_idx // (res * res)],
+                        s[(lin_idx // res) % res],
+                        s[lin_idx % res]], axis=-1)
+        return _sdf_points(net, pts)
+
+    fn = _grid_vals_at_fn(net.spec, batch)
+    out = np.empty(lin_idx.shape[0], np.float32)
+    for i in range(0, lin_idx.shape[0], batch):
+        n = min(batch, lin_idx.shape[0] - i)
+        chunk = lin_idx[i:i + batch].astype(np.int32)
+        if n < batch:
+            chunk = np.concatenate([chunk, np.zeros(batch - n, np.int32)])
+        vals = fn(net.params, res, float(canvas), chunk)
+        out[i:i + n] = np.asarray(vals[:n])
+    return out
+
+
 def _sdf_points(net, pts: np.ndarray, batch: int = 1 << 18) -> np.ndarray:
     import jax.numpy as jnp
 

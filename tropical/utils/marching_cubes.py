@@ -160,8 +160,37 @@ def marching_cubes(vals: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     triangles [F,3] i64) with per-edge-deduplicated vertices.
     """
     vals = np.asarray(vals, np.float64)
-    nx, ny, nz = vals.shape
-    occ = vals > 0
+
+    def fetch(pi, pj, pk, qi, qj, qk):
+        return vals[pi, pj, pk], vals[qi, qj, qk]
+
+    return _marching_cubes_core(vals > 0, xs, ys, zs, fetch)
+
+
+def marching_cubes_signs(occ: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                         zs: np.ndarray, vals_at) -> Tuple[np.ndarray,
+                                                           np.ndarray]:
+    """Marching cubes from an occupancy grid (``occ`` [nx,ny,nz] bool,
+    True = vals > 0) plus a value oracle ``vals_at(lin)`` returning the field
+    at row-major linear indices of the SAME local grid.  MC consumes values
+    ONLY at crossing-edge endpoints, so this produces bitwise-identical
+    output to :func:`marching_cubes` on the dense field while fetching a few
+    thousand values instead of nx*ny*nz — the device path uses it to avoid
+    pulling a 512^3 f32 grid through the host<->TPU tunnel."""
+    ny, nz = occ.shape[1], occ.shape[2]
+
+    def fetch(pi, pj, pk, qi, qj, qk):
+        la = (pi * ny + pj) * nz + pk
+        lb = (qi * ny + qj) * nz + qk
+        v = np.asarray(vals_at(np.concatenate([la, lb])), np.float64)
+        return v[:la.shape[0]], v[la.shape[0]:]
+
+    return _marching_cubes_core(np.asarray(occ, bool), xs, ys, zs, fetch)
+
+
+def _marching_cubes_core(occ: np.ndarray, xs, ys, zs, fetch
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    nx, ny, nz = occ.shape
 
     code = np.zeros((nx - 1, ny - 1, nz - 1), np.uint8)
     for c in range(8):
@@ -206,8 +235,7 @@ def marching_cubes(vals: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     pk = lin % nz
     step = np.stack([axis == 0, axis == 1, axis == 2], -1).astype(np.int64)
     qi, qj, qk = pi + step[:, 0], pj + step[:, 1], pk + step[:, 2]
-    va = vals[pi, pj, pk]
-    vb = vals[qi, qj, qk]
+    va, vb = fetch(pi, pj, pk, qi, qj, qk)
     t = va / (va - vb)
     pa = np.stack([xs[pi], ys[pj], zs[pk]], -1)
     pb = np.stack([xs[qi], ys[qj], zs[qk]], -1)
@@ -223,19 +251,36 @@ def run_marching_cubes(net, res: int, canvas: float, R: float = 1.0,
     divided by the dataset scale R).  x-slab streamed like the MT baseline
     so a 512^3 field never materializes at once; slab-boundary duplicates
     (bitwise-identical positions) are deduplicated at the end."""
-    from tropical.utils.isosurface import _sdf_grid_vals
+    import jax
+
+    from tropical.utils.isosurface import (_sdf_grid_signs,
+                                           _sdf_grid_vals,
+                                           _sdf_grid_vals_at)
     from tropical.utils.ply import Mesh
 
+    # On accelerators the d2h tunnel (~40 MB/s) is the eval ladder's wall:
+    # pull packed sign bits for the whole grid (res^3/8 bytes) and exact f32
+    # values only at crossing-edge endpoints — bitwise-identical mesh to the
+    # dense path at ~1/30 the transfer.
+    sparse = jax.default_backend() != "cpu"
     s = np.linspace(-canvas, canvas, res, dtype=np.float32)
     all_verts, all_tris = [], []
     for x0 in range(0, res - 1, slab):
         x1 = min(res - 1, x0 + slab)
         nxs = x1 - x0 + 1
-        # SDF values from device-synthesized grid points (no coordinate
-        # h2d); the MC geometry below only needs the 1-D axis arrays
-        vals = _sdf_grid_vals(net, res, canvas, x0 * res * res,
-                              nxs * res * res).reshape(nxs, res, res)
-        verts, tris = marching_cubes(vals, s[x0:x1 + 1], s, s)
+        if sparse:
+            occ = _sdf_grid_signs(net, res, canvas, x0 * res * res,
+                                  nxs * res * res).reshape(nxs, res, res)
+            verts, tris = marching_cubes_signs(
+                occ, s[x0:x1 + 1], s, s,
+                lambda lin: _sdf_grid_vals_at(net, res, canvas,
+                                              lin + x0 * res * res))
+        else:
+            # SDF values from device-synthesized grid points (no coordinate
+            # h2d); the MC geometry below only needs the 1-D axis arrays
+            vals = _sdf_grid_vals(net, res, canvas, x0 * res * res,
+                                  nxs * res * res).reshape(nxs, res, res)
+            verts, tris = marching_cubes(vals, s[x0:x1 + 1], s, s)
         if len(verts):
             base = sum(len(v) for v in all_verts)
             all_verts.append(verts)
