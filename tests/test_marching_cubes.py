@@ -164,3 +164,30 @@ def test_sign_and_vals_at_programs_match_dense_grid(trained_net):
     vfn = _grid_vals_at_fn(trained_net.spec, idx.shape[0])
     at = np.asarray(vfn(trained_net.params, res, canvas, idx))
     np.testing.assert_allclose(at, dense[idx], atol=1e-6)
+
+
+def test_mt_sparse_splat_matches_dense(trained_net):
+    """The accelerator MT branch (sign grid + exact values splatted at
+    mixed-cube corners) must be bitwise-identical to the dense-values path
+    over the same device-synthesized field."""
+    from unittest import mock
+
+    import jax
+
+    import tropical.utils.isosurface as iso
+
+    with mock.patch.object(jax, "default_backend", lambda: "axon"):
+        sp = iso.run_marching_tetrahedra(trained_net, 20, 1.2)
+
+    orig = iso._sdf_grid_vals
+
+    def synth_vals(net_, res, canvas, lin0, count, batch=1 << 18):
+        with mock.patch.object(jax, "default_backend", lambda: "axon"):
+            return orig(net_, res, canvas, lin0, count, batch)
+
+    with mock.patch.object(iso, "_sdf_grid_vals", synth_vals):
+        dn = iso.run_marching_tetrahedra(trained_net, 20, 1.2)
+
+    np.testing.assert_array_equal(np.asarray(dn.vertices),
+                                  np.asarray(sp.vertices))
+    np.testing.assert_array_equal(np.asarray(dn.faces), np.asarray(sp.faces))

@@ -340,8 +340,18 @@ def run_marching_tetrahedra(net, res: int, canvas: float, R: float = 1.0,
     array; duplicate vertices on slab boundaries (bitwise-identical positions)
     are deduplicated at the end.
     """
+    import jax
+
     from tropical.utils.ply import Mesh
 
+    # MT consumes the field only through signs (case codes + orientation)
+    # and values at crossing-edge endpoints, all of which lie in mixed-sign
+    # cubes: on accelerators pull packed sign bits for the grid and exact
+    # f32 values only at mixed-cube corners (splatted over a +/-1 sign
+    # fill) — identical output to the dense pull at ~1/30 the d2h transfer
+    # (a 512^3 ladder would otherwise ship ~540 MB through the ~40 MB/s
+    # tunnel).
+    sparse = jax.default_backend() != "cpu"
     s = np.linspace(-canvas, canvas, res, dtype=np.float32)
     all_verts, all_tris = [], []
     for x0 in range(0, res - 1, slab):
@@ -351,7 +361,25 @@ def run_marching_tetrahedra(net, res: int, canvas: float, R: float = 1.0,
         pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
         # pts stay host-side for the tet geometry; the SDF values come from
         # device-synthesized grid points (no coordinate h2d)
-        sdf = _sdf_grid_vals(net, res, canvas, x0 * res * res, nx * res * res)
+        if sparse:
+            occ = _sdf_grid_signs(net, res, canvas, x0 * res * res,
+                                  nx * res * res)
+            o3 = occ.reshape(nx, res, res)
+            csum = np.zeros((nx - 1, res - 1, res - 1), np.uint8)
+            for dx, dy, dz in CUBE_CORNERS:
+                csum += o3[dx:dx + nx - 1, dy:dy + res - 1, dz:dz + res - 1]
+            mi, mj, mk = np.nonzero((csum > 0) & (csum < 8))
+            corner = (((mi[:, None] + CUBE_CORNERS[None, :, 0]) * res
+                       + (mj[:, None] + CUBE_CORNERS[None, :, 1])) * res
+                      + (mk[:, None] + CUBE_CORNERS[None, :, 2]))
+            uniq = np.unique(corner.ravel())
+            sdf = np.where(occ, np.float32(1.0), np.float32(-1.0))
+            if uniq.size:
+                sdf[uniq] = _sdf_grid_vals_at(net, res, canvas,
+                                              uniq + x0 * res * res)
+        else:
+            sdf = _sdf_grid_vals(net, res, canvas, x0 * res * res,
+                                 nx * res * res)
         tets = grid_tetrahedra(nx, res)
         verts, tris = marching_tetrahedra(pts.astype(np.float64), tets, sdf)
         if len(verts):
