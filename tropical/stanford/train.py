@@ -85,9 +85,21 @@ def evaluate_against_grid_gt(net, our_mesh, our_t, dataset_R, gt_res,
     from tropical.utils.isosurface import run_marching_tetrahedra
     from tropical.utils.marching_cubes import run_marching_cubes
 
+    import os
+    import sys
+
+    trace = os.environ.get("TROPICAL_PROFILE")
+
+    def note(msg):
+        if trace:
+            print(f"[eval] {msg} t={time.time():.1f}", file=sys.stderr,
+                  flush=True)
+
     rays_o, rays_d = get_rays(100000)
+    note("ray-trace ours")
     our_samples, our_normals, our_mask = sample_surface_from_rays(
         rays_o, rays_d, our_mesh, return_normal=True)
+    note("ray-trace ours done")
 
     if resolutions is None:
         resolutions = [gt_res, 16, 24, 32, 40, 48, 56, 64, 128, 192, 224, 256]
@@ -104,9 +116,12 @@ def evaluate_against_grid_gt(net, our_mesh, our_t, dataset_R, gt_res,
         else:
             mc_mesh = run_marching_tetrahedra(net, i, CANVAS_SIZE, R=dataset_R)
         t = time.time() - t
+        note(f"res {i}: mesh done ({mc_mesh.vertices.shape[0]} verts), "
+             f"ray-trace")
         try:
             mc_samples, mc_normals, mc_mask = sample_surface_from_rays(
                 rays_o, rays_d, mc_mesh, return_normal=True)
+            note(f"res {i}: ray-trace done, chamfer")
         except Exception:
             print(f"{i:4d}, {0:5d}, {0:0.6f}, {0:4.1f}, {t:.2f}")
             continue

@@ -262,6 +262,17 @@ def run_marching_cubes(net, res: int, canvas: float, R: float = 1.0,
     # pull packed sign bits for the whole grid (res^3/8 bytes) and exact f32
     # values only at crossing-edge endpoints — bitwise-identical mesh to the
     # dense path at ~1/30 the transfer.
+    import os
+    import sys
+    import time
+
+    trace = os.environ.get("TROPICAL_PROFILE")
+
+    def note(msg):
+        if trace:
+            print(f"[mc res={res}] {msg} t={time.time():.1f}",
+                  file=sys.stderr, flush=True)
+
     sparse = jax.default_backend() != "cpu"
     s = np.linspace(-canvas, canvas, res, dtype=np.float32)
     all_verts, all_tris = [], []
@@ -269,12 +280,15 @@ def run_marching_cubes(net, res: int, canvas: float, R: float = 1.0,
         x1 = min(res - 1, x0 + slab)
         nxs = x1 - x0 + 1
         if sparse:
+            note(f"slab {x0} signs")
             occ = _sdf_grid_signs(net, res, canvas, x0 * res * res,
                                   nxs * res * res).reshape(nxs, res, res)
+            note(f"slab {x0} topo+vals")
             verts, tris = marching_cubes_signs(
                 occ, s[x0:x1 + 1], s, s,
                 lambda lin: _sdf_grid_vals_at(net, res, canvas,
                                               lin + x0 * res * res))
+            note(f"slab {x0} done ({len(verts)} verts)")
         else:
             # SDF values from device-synthesized grid points (no coordinate
             # h2d); the MC geometry below only needs the 1-D axis arrays
