@@ -125,7 +125,14 @@ def min_nn_distance(x: np.ndarray, y: np.ndarray,
     xp = jnp.asarray(_pad_rows(np.asarray(x, np.float32), BX, 0.0))
     yp = jnp.asarray(_pad_rows(np.asarray(y, np.float32), BY, 1e8))
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
+        # opt-in only: at eval shapes (x=y=131072) the Mosaic compile of the
+        # Pallas kernel hangs the tunneled v5e worker indefinitely (measured
+        # 2026-08-18; min_dist_xla compiles in ~2 s and is MXU-bound anyway,
+        # so the kernel buys nothing at these sizes)
+        import os
+
+        use_pallas = (os.environ.get("TROPICAL_CHAMFER") == "pallas"
+                      and jax.default_backend() == "tpu"
                       and yp.shape[0] * 12 <= 8 * 2 ** 20)
     if use_pallas:
         try:
