@@ -24,7 +24,7 @@ def test_caps_retry_ramp_converges(trained_net):
 
     # 1. reference result at (memoized or default) caps
     _, V0, T0 = dv.subpoly_device(net, verbose=False, force=True)
-    key = (net.spec, M, True, "dist")
+    key = (net.spec, M, True, "dist", dv._net_digest(net))
     good = dv._GOOD_CAPS.get(key)
     assert good is not None, "successful run must memoize tight caps"
 
@@ -82,7 +82,7 @@ def test_curved_cvcap_ramp(trained_net):
     M = int(net.marks.shape[0])
 
     _, V0, T0 = dv.subpoly_device(net, verbose=False, force=False)
-    key = (net.spec, M, False, "dist")
+    key = (net.spec, M, False, "dist", dv._net_digest(net))
     good = dv._GOOD_CAPS.get(key)
     assert good is not None
 
@@ -91,3 +91,25 @@ def test_curved_cvcap_ramp(trained_net):
     _, V1, T1 = dv.subpoly_device(net, verbose=False, force=False, caps=tiny)
     assert V1.shape == V0.shape, (V1.shape, V0.shape)
     np.testing.assert_allclose(_sorted(V1), _sorted(V0), atol=0)
+
+
+def test_caps_keyed_per_checkpoint(trained_net):
+    """Two nets sharing a spec but not weights must NOT share caps entries:
+    one checkpoint's memoized tight caps overwriting another's costs the
+    loser a fresh XLA compile every alternating run (sphere vs torus small,
+    observed on the v5e)."""
+    import jax
+
+    from tropical.core.net import TropicalNet
+    from tropical.extract import device as dv
+
+    net = trained_net
+    other = TropicalNet(net.spec, key=jax.random.PRNGKey(123))
+    assert dv._net_digest(net) != dv._net_digest(other)
+
+    # a successful run memoizes under the digested key only
+    dv.subpoly_device(net, verbose=False, force=True)
+    M = int(net.marks.shape[0])
+    assert (net.spec, M, True, "dist", dv._net_digest(net)) in dv._GOOD_CAPS
+    assert (net.spec, M, True, "dist",
+            dv._net_digest(other)) not in dv._GOOD_CAPS

@@ -1517,6 +1517,29 @@ def _caps_token(spec: NetSpec, tail: str) -> str:
             f"-eps{spec.eps}-{tail}")
 
 
+def _net_digest(net) -> str:
+    """4-byte hex digest of the net's weights (a slice of the hash table).
+
+    Caps are learned per *checkpoint*, not per architecture: two nets that
+    share a spec (e.g. the sphere and torus small models) need different
+    pool shapes, and a spec-level key would let one overwrite the other's
+    tight caps — costing the loser a fresh XLA compile next run.  Hashing
+    64 table rows is checkpoint-specific (training always updates the
+    table) and pulls <2 KB from the device, once per net object.
+    """
+    dg = getattr(net, "_caps_digest", None)
+    if dg is None:
+        import hashlib
+
+        tb = np.asarray(jax.device_get(net.params["table"][:64]), np.float32)
+        dg = hashlib.blake2s(tb.tobytes(), digest_size=4).hexdigest()
+        try:
+            net._caps_digest = dg
+        except AttributeError:
+            pass
+    return dg
+
+
 _PERSISTED: dict = {"good": {}, "skel": {}}
 
 
@@ -1635,10 +1658,16 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
 
     M = int(net.marks.shape[0])
     _load_persisted_caps()
+    dg = _net_digest(net)
     mtag = f"M{M}" if mode == "sign" else f"M{M}-{mode}"
-    size_key = (net.spec, M, force, mode)
-    size_tok = _caps_token(net.spec, f"{mtag}-f{int(force)}-e{eps}")
-    caps = caps or _GOOD_CAPS.get(size_key) or _PERSISTED["good"].get(size_tok)
+    size_key = (net.spec, M, force, mode, dg)
+    size_tok = _caps_token(net.spec, f"{mtag}-f{int(force)}-e{eps}-n{dg}")
+    # legacy spec-level key: read-only seed for caches written before caps
+    # were keyed per checkpoint (writes always go to the digested key)
+    size_tok_legacy = _caps_token(net.spec, f"{mtag}-f{int(force)}-e{eps}")
+    caps = (caps or _GOOD_CAPS.get(size_key)
+            or _PERSISTED["good"].get(size_tok)
+            or _PERSISTED["good"].get(size_tok_legacy))
 
     # max marks per uniform LUT cell (exactness bound for the fast
     # grid-region lookup)
@@ -1830,10 +1859,12 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     # (decoupled from the loop caps so no host round-trip of the lattice is
     # ever needed — the chunked host skeleton pulls ~130 MB/([M/128]^3 chunk)
     # through a ~40 MB/s tunnel)
-    skel_key = (net.spec, M, eps, mode)
-    skel_tok = _caps_token(net.spec, f"{mtag}-e{eps}-skel")
+    skel_key = (net.spec, M, eps, mode, dg)
+    skel_tok = _caps_token(net.spec, f"{mtag}-e{eps}-n{dg}-skel")
+    skel_tok_legacy = _caps_token(net.spec, f"{mtag}-e{eps}-skel")
     skel_caps = (_SKEL_CAPS.get(skel_key)
                  or _PERSISTED["skel"].get(skel_tok)
+                 or _PERSISTED["skel"].get(skel_tok_legacy)
                  or default_skel_caps(M, mode))
     for _ in range(5):
         kkey = ("skel", net.spec, skel_caps, M, eps, mode)
