@@ -111,11 +111,77 @@ class State(NamedTuple):
     #                     loop's curved-candidate count and the faces
     #                     stage's max region polygon size — lets the host
     #                     re-derive tight caps
+    SB: jax.Array       # [NW, VCAP] u32 per-vertex sign words (out > 0)
+    ZB: jax.Array       # [NW, VCAP] u32 per-vertex zero words (|out| <= eps)
+    EB: jax.Array       # [NW, ECAP] u32 per-edge split words (see _edge_bits)
+    LD: jax.Array       # [ECAP] i32 per-edge last eps-sign-differing column
 
 
 def _eps_sign(out, eps):
     s = jnp.where(out > 0, 1, -1).astype(jnp.int32)
     return jnp.where(jnp.abs(out) <= eps, 0, s)
+
+
+NW = (R_COLS + 31) // 32  # u32 words covering the R_COLS sign columns
+
+
+def _pack_out_words(out, eps):
+    """[N, R] f32 -> (sign words, zero words), each [NW, N] u32.
+
+    Bit j of word w: sign = ``out[:, 32w+j] > 0``; zero = ``|out| <= eps``.
+    OUT rows are static for a vertex's lifetime, so these words are packed
+    once at vertex creation and the per-step split/prune predicates become
+    bit tests instead of pool-wide float gathers (the idle-step probe was
+    ~2 ECAP-sized gathers x 33 steps — the single largest cost at M=201)."""
+    sb, zb = [], []
+    for w in range(NW):
+        lo, hi = 32 * w, min(32 * w + 32, R_COLS)
+        bit = jnp.uint32(1) << jnp.arange(hi - lo, dtype=jnp.uint32)
+        blk = out[:, lo:hi]
+        sb.append(jnp.sum((blk > 0).astype(jnp.uint32) * bit[None, :],
+                          axis=1, dtype=jnp.uint32))
+        zb.append(jnp.sum((jnp.abs(blk) <= eps).astype(jnp.uint32)
+                          * bit[None, :], axis=1, dtype=jnp.uint32))
+    return jnp.stack(sb), jnp.stack(zb)
+
+
+def _high_bit(v):
+    """Index of the highest set bit of u32 ``v`` (-1 for 0), branch-free."""
+    v = v | (v >> 1)
+    v = v | (v >> 2)
+    v = v | (v >> 4)
+    v = v | (v >> 8)
+    v = v | (v >> 16)
+    return jax.lax.population_count(v).astype(jnp.int32) - 1
+
+
+def _edge_bits(sbp, zbp, sbq, zbq):
+    """Per-edge static predicates from endpoint words ([NW, K] u32 each).
+
+    Returns (split words [NW, K] u32, last-differing column [K] i32):
+    - split bit j: plane j strictly splits the edge — both endpoint values
+      outside the eps band and of opposite sign (bit-exact to the float
+      predicate ``d0*d1 < 0 & |d0| > eps & |d1| > eps``).
+    - last-differ: highest column whose eps-sign trit differs between the
+      endpoints (-1 if none).  The future-sign prune test at step idx
+      (reference subpoly.py:253-277, trits over ``m[:, idx:]``) is then the
+      scalar compare ``ld >= idx`` — monotone in idx because a trit
+      difference at column c matters exactly for steps idx <= c."""
+    split, ld = [], None
+    for w in range(NW):
+        nz = ~zbp[w] & ~zbq[w]
+        sdif = (sbp[w] ^ sbq[w]) & nz
+        split.append(sdif)
+        dif = (zbp[w] ^ zbq[w]) | sdif
+        cand = jnp.where(dif > 0, 32 * w + _high_bit(dif), -1)
+        ld = cand if ld is None else jnp.maximum(ld, cand)
+    return jnp.stack(split), ld
+
+
+def _gather_words(W2, idx):
+    """[NW, N] u32 word store gathered at ``idx`` -> [NW, K] (single-column
+    gathers per word: multi-column row gathers lower ~6x slower on TPU)."""
+    return jnp.stack([W2[w][idx] for w in range(NW)])
 
 
 def _grid_region(marks, xu, eps):
@@ -315,63 +381,35 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                       max(_round_up(HB_BIG // 8, 256), 256),
                       min(max(_round_up(QC_BIG // 8, 1024), 1024), CCAP_S))
 
-    # pool-prefix tiers for the pre-cond probe: live edges always occupy the
-    # pool prefix [0, nE) (every prune compacts; appends go through the nE
-    # cursor) and every live endpoint index is < nV, so "does this plane
-    # split anything" can be answered over the smallest static prefix that
-    # covers the live counts.  At large scale the full-pool probe was a flat
-    # ~107 ms x 32 steps over ECAP lanes regardless of how few were live.
-    PRE_TIERS = []
-    if ECAP >= 1 << 18:
-        for div in (16, 4):
-            PRE_TIERS.append((min(_round_up(VCAP // div), VCAP),
-                              min(_round_up(ECAP // div), ECAP)))
-
     def step(params, marks, lut, state: State, idx, prune: bool) -> State:
         """One insertion.  Steps whose plane splits no edge return unchanged
         (reference subpoly.py:110-111) — in practice ~2/3 of all steps — via
-        lax.cond, so idle steps cost one prefix-tiered probe instead of the
-        full pipeline.  Busy steps dispatch to a small- or big-tier pipeline
-        by live candidate counts."""
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
+        lax.cond.  The split probe is a bit test on the per-edge split words
+        (one contiguous [ECAP] u32 row slice + reduce; the previous float
+        probe paid two pool-wide gathers every step — the engine's single
+        largest cost at M=201).  Busy steps recompute the full-width float
+        mask (they need the d-values anyway) and dispatch to a small- or
+        big-tier pipeline by live candidate counts."""
+        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw, SB, ZB, EB, LD = state
 
-        # --- 1. sign-change split probe (reference subpoly.py:102-105) ------
-        def precond(VP, EP):
-            ocp = jnp.take(OUT[:VP], idx, axis=1)      # [VP]
-            d0p = ocp[E[:EP, 0]]
-            d1p = ocp[E[:EP, 1]]
-            return ocp, d0p, d1p, (aliveE[:EP] & ((d0p * d1p) < 0)
+        # --- 1. sign-change split probe (reference subpoly.py:102-105), as a
+        # bit test on the static per-edge split words ------------------------
+        word = jax.lax.dynamic_index_in_dim(EB, idx >> 5, axis=0,
+                                            keepdims=False)
+        pbit = jax.lax.shift_right_logical(
+            word, (idx & 31).astype(jnp.uint32)) & jnp.uint32(1)
+        has_split = (aliveE & (pbit > 0)).any()
+
+        def precond():
+            ocp = jnp.take(OUT, idx, axis=1)      # [VCAP]
+            d0p = ocp[E[:, 0]]
+            d1p = ocp[E[:, 1]]
+            return ocp, d0p, d1p, (aliveE & ((d0p * d1p) < 0)
                                    & (jnp.abs(d0p) > eps)
                                    & (jnp.abs(d1p) > eps))
 
-        if not PRE_TIERS:
-            # small pools: compute the full-width mask once and share it
-            # with the busy pipeline (a probe + busy recompute would double
-            # the pre-cond cost exactly where it is cheapest to avoid)
-            pre = precond(VCAP, ECAP)
-            has_split = pre[3].any()
-        else:
-            pre = None
-
-            def probe_chain(i):
-                # nested conds, smallest tier outermost, so only the
-                # selected tier's gathers execute (a value computed outside
-                # the branches would run unconditionally)
-                if i == len(PRE_TIERS):
-                    return precond(VCAP, ECAP)[3].any()
-                VP, EP = PRE_TIERS[i]
-                return jax.lax.cond((nV <= VP) & (nE <= EP),
-                                    lambda: precond(VP, EP)[3].any(),
-                                    lambda: probe_chain(i + 1))
-
-            has_split = probe_chain(0)
-
         def dispatch(st):
-            # with prefix tiers active the probe may have run on a prefix,
-            # so busy steps recompute the full-width mask; idle steps (the
-            # ~2/3 majority) never pay this
-            outcol, d0, d1, split = (pre if pre is not None
-                                     else precond(VCAP, ECAP))
+            outcol, d0, d1, split = precond()
 
             if not two_tier:
                 return _busy_step(params, marks, lut, TIER_BIG, st, idx,
@@ -414,7 +452,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # overflows (reference semantics are cap-independent)
         CCAP, HCAP, PCAP, CONNCAP, HB, QC = tier
         CAND = CCAP + HCAP
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
+        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw, SB, ZB, EB, LD = state
 
         # --- 2. compact split edges into the candidate block -----------------
         lanes, cval, n_split = _compact_lanes(split, CCAP)
@@ -432,19 +470,14 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         cand_v = v0 * (1 - wgt[:, None]) + v1 * wgt[:, None]
 
         col = jnp.arange(R_COLS, dtype=jnp.int32)[None, :]
-        # shared zero-plane bits of each split edge's endpoints.  Only the
-        # ZERO masks of the gathered OUT rows are ever used (override mask +
-        # curved-branch plane lookup), so pack per-vertex zero words with an
-        # elementwise pool pass (vector-unit speed) and gather 2 words per
-        # endpoint instead of 33 floats — the row gathers were ~6M gathered
-        # elements per busy step at medium scale.
-        zwv = (jnp.abs(OUT) <= eps)                       # [VCAP, R] elemwise
-        zbit = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-        zlo = jnp.sum(zwv[:, :32].astype(jnp.uint32) * zbit[None, :],
-                      axis=1, dtype=jnp.uint32)
-        zhi = zwv[:, 32].astype(jnp.uint32)
-        both_lo = zlo[ce0] & zlo[ce1]
-        both_hi = zhi[ce0] & zhi[ce1]
+        # shared zero-plane bits of each split edge's endpoints, from the
+        # per-vertex zero-word store (2 u32 gathers per endpoint instead of
+        # 33 floats — the row gathers were ~6M gathered elements per busy
+        # step at medium scale; the words themselves are packed once at
+        # vertex creation)
+        both_lo = ZB[0][ce0] & ZB[0][ce1]
+        both_hi = (ZB[1][ce0] & ZB[1][ce1]) if NW > 1 else \
+            jnp.zeros_like(both_lo)
         colu = jnp.arange(R_COLS, dtype=jnp.uint32)[None, :]
         # [CCAP, R] bool: column is eps-zero at BOTH endpoints
         both_zero_col = jnp.where(
@@ -609,19 +642,26 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         start_v = jnp.minimum(nV, VCAP - CCAP)  # out-of-range already flagged
         V = jax.lax.dynamic_update_slice(V, cand_v_s, (start_v, 0))
         OUT = jax.lax.dynamic_update_slice(OUT, cand_out_s, (start_v, 0))
+        # pack the new rows' sign/zero words once (slot space, pre-compaction:
+        # rewrite + append sites below index them by slot) and store the
+        # survivor-compacted block alongside OUT
+        sb_pre, zb_pre = _pack_out_words(cand_out, eps)        # [NW, CCAP]
+        sb_s = jnp.where(sval[None, :], _gather_words(sb_pre, slanes), 0)
+        zb_s = jnp.where(sval[None, :], _gather_words(zb_pre, slanes), 0)
+        SB = jax.lax.dynamic_update_slice(SB, sb_s, (0, start_v))
+        ZB = jax.lax.dynamic_update_slice(ZB, zb_s, (0, start_v))
         # aliveV is not maintained per step: liveness is implied by aliveE
         # (the hit scan walks edges); the epilogue recomputes it once
 
         # --- 7. edge rewrite + right-edge append (subpoly.py:210-215) ----------
-        # Appends are PRE-filtered by the same future-sign-key test the
+        # Appends are PRE-filtered by the same future-sign test the
         # end-of-step prune applies (subpoly.py:253-272): an appended edge
         # whose endpoints share every future sign would be dropped by the
         # prune a few stages later anyway, so filtering at append time is
         # semantically identical but keeps the edge pool (and its memoized
         # cap — every pool lane costs work each step) at the live size.
-        # The packed keys are reused by the prune itself.
-        colf = jnp.arange(R_COLS, dtype=jnp.int32)
-        pk1, pk2 = _pack_base3(_eps_sign(OUT, eps), colf >= idx)
+        # The test is the scalar ``last-differ >= idx`` on the per-edge
+        # words (see _edge_bits), which every created edge computes anyway.
         prefilter = prune  # static: the final insertion is NOT pruned
         #                    (subpoly.py:67-69,253), so its appends must not
         #                    be pre-filtered either — the funnel's "B" count
@@ -637,10 +677,26 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         e1_col = E[:, 1]
         E = jnp.stack(
             [E[:, 0], jnp.where(split_kept, new_id, E[:, 1])], axis=-1)
+
+        # rewritten edges (a, new): update their static split words in place
+        # (slot space: slot s rewrites lane lanes[s] iff its candidate
+        # survived; a = ce0[s], new vertex words = the slot-space pack)
+        rw_p_sb = _gather_words(SB, ce0)
+        rw_p_zb = _gather_words(ZB, ce0)
+        eb_rw, ld_rw = _edge_bits(rw_p_sb, rw_p_zb, sb_pre, zb_pre)
+        rw_tgt = jnp.where(cval & keep_c, lanes, ECAP)
+        EB = jnp.stack([EB[w].at[rw_tgt].set(eb_rw[w], mode="drop")
+                        for w in range(NW)])
+        LD = LD.at[rw_tgt].set(ld_rw, mode="drop")
+
         ra = jnp.where(sval, old_second[slanes], 0)
         rb = nV + jnp.arange(CCAP, dtype=jnp.int32)
+        # appended edges (old second endpoint, new vertex), survivor space
+        ap_p_sb = _gather_words(SB, ra)
+        ap_p_zb = _gather_words(ZB, ra)
+        eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
         if prefilter:
-            keep_r = sval & ((pk1[ra] != pk1[rb]) | (pk2[ra] != pk2[rb]))
+            keep_r = sval & (ld_ap >= idx)
             rlanes, rval, n_eapp = _compact_lanes(keep_r, CCAP)
         else:
             rlanes, rval, n_eapp = jnp.arange(CCAP, dtype=jnp.int32), sval, n_new
@@ -651,11 +707,16 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         ovf = ovf | jnp.where(nE + n_eapp > ECAP - CCAP, OVF_E, 0)
         E = jax.lax.dynamic_update_slice(E, e_app, (start_e, 0))
         aliveE = jax.lax.dynamic_update_slice(aliveE, rval, (start_e,))
+        eb_blk = jnp.where(rval[None, :], _gather_words(eb_ap, rlanes), 0)
+        ld_blk = jnp.where(rval, ld_ap[rlanes], -1)
+        EB = jax.lax.dynamic_update_slice(EB, eb_blk, (0, start_e))
+        LD = jax.lax.dynamic_update_slice(LD, ld_blk, (start_e,))
         nE2 = nE + n_eapp
         nV2 = nV + n_new
 
         if "pairs" in disable:  # profiling cut: skip stages 8-12
-            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
+            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw,
+                          SB, ZB, EB, LD)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -745,7 +806,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         if "repsort" in disable:  # profiling cut: expansion only
             ovf = ovf | (k1f.max() * 0) | (k2f.max() * 0) | (k3f.max() * 0)
-            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
+            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw,
+                          SB, ZB, EB, LD)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -754,7 +816,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         if "windows" in disable:  # profiling cut: expansion + sort only
             ovf = ovf | (srow.max() * 0) | (sk1.max() * 0)
-            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
+            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw,
+                          SB, ZB, EB, LD)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -785,7 +848,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         if "paircompact" in disable:  # profiling cut: stop after pair counts
             ovf = ovf | (cum.max() * 0) | (rank.max() * 0)
-            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
+            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw,
+                          SB, ZB, EB, LD)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -820,7 +884,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         if "dedup" in disable:  # profiling cut: stop before the dedup sort
             ovf = ovf | (keep_pair.any() * 0)
-            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw)
+            state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw,
+                          SB, ZB, EB, LD)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -837,6 +902,10 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             (slo[1:] != slo[:-1]) | (shi[1:] != shi[:-1])])
         uniq = first & (slo < VCAP)
         if prefilter:
+            # future-sign pre-filter on packed base-3 keys (pair-pool width;
+            # the per-edge word store only helps once an edge exists)
+            colf = jnp.arange(R_COLS, dtype=jnp.int32)
+            pk1, pk2 = _pack_base3(_eps_sign(OUT, eps), colf >= idx)
             uniq = uniq & (
                 (pk1[jnp.minimum(slo, VCAP - 1)] != pk1[jnp.minimum(shi, VCAP - 1)])
                 | (pk2[jnp.minimum(slo, VCAP - 1)] != pk2[jnp.minimum(shi, VCAP - 1)]))
@@ -848,6 +917,17 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         ovf = ovf | jnp.where(nE2 + n_conn > ECAP - CONNCAP, OVF_E, 0)
         E = jax.lax.dynamic_update_slice(E, c_app, (start_e2, 0))
         aliveE = jax.lax.dynamic_update_slice(aliveE, uval, (start_e2,))
+        # connecting edges' static split words (endpoints are all written to
+        # the word store by now: new vertices in stage 6, hits are old)
+        cn_p_sb = _gather_words(SB, c_app[:, 0])
+        cn_p_zb = _gather_words(ZB, c_app[:, 0])
+        cn_q_sb = _gather_words(SB, c_app[:, 1])
+        cn_q_zb = _gather_words(ZB, c_app[:, 1])
+        eb_cn, ld_cn = _edge_bits(cn_p_sb, cn_p_zb, cn_q_sb, cn_q_zb)
+        EB = jax.lax.dynamic_update_slice(
+            EB, jnp.where(uval[None, :], eb_cn, 0), (0, start_e2))
+        LD = jax.lax.dynamic_update_slice(
+            LD, jnp.where(uval, ld_cn, -1), (start_e2,))
         nE3 = nE2 + n_conn
 
         z = jnp.int32(0)
@@ -858,42 +938,38 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         hw = jnp.maximum(hw, jnp.stack([
             n_split, hit_need, n_pairs, n_conn, nV2, nE3, n_b, z, z, z, z,
             n_cv if not force else z, z]))
-        state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw)
+        state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw,
+                      SB, ZB, EB, LD)
         if prune and "prune" not in disable:
-            state = _prune(state, idx, eps, keys=(pk1, pk2))
+            state = _prune(state, idx, eps)
         return state
 
-    def _prune(state: State, idx, eps, keys=None) -> State:
+    def _prune(state: State, idx, eps) -> State:
         """Drop edges whose endpoints share identical future sign vectors and
         compact survivors to the pool prefix (reference subpoly.py:253-277).
-        ``keys`` reuses the packed future-sign keys already computed for the
-        append pre-filters.
+        The future-sign test is the scalar compare ``LD >= idx`` on the
+        per-edge last-differing column (see _edge_bits) — no key pack or
+        endpoint gathers.
 
         The vertex pool is compacted lazily — every 8th insertion or under
         pool pressure — because the compaction scatter/gather passes cost
         more per step than the vertex-width passes they save; lazy still
         bounds the pool at roughly the live maximum (order-preserving
         renumber, so the final mesh ordering is unchanged)."""
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
+        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw, SB, ZB, EB, LD = state
 
-        if keys is None:
-            col = jnp.arange(R_COLS, dtype=jnp.int32)
-            future = col >= idx          # m[:, m_idx:] (subpoly.py:256-258)
-            k1, k2 = _pack_base3(_eps_sign(OUT, eps), future)
-        else:
-            k1, k2 = keys
-
-        differ = (k1[E[:, 0]] != k1[E[:, 1]]) | (k2[E[:, 0]] != k2[E[:, 1]])
-        keep = aliveE & differ
+        keep = aliveE & (LD >= idx)
 
         # compact surviving edges to the prefix (order-preserving, sort-free)
         lanes, val, n_keep = _compact_lanes(keep, ECAP)
         E = jnp.where(val[:, None], E[lanes], 0)
+        EB = jnp.where(val[None, :], _gather_words(EB, lanes), 0)
+        LD = jnp.where(val, LD[lanes], -1)
         nE = n_keep
         aliveE = val
 
         def _compact_vertices(args):
-            V, OUT, E, nV = args
+            V, OUT, E, SB, ZB, nV = args
             used = jnp.zeros(VCAP, bool)
             used = used.at[jnp.where(val, E[:, 0], VCAP)].set(
                 True, mode="drop")
@@ -903,14 +979,17 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             vlanes, vval, n_used = _compact_lanes(used, VCAP)
             V = jnp.where(vval[:, None], V[vlanes], 0)
             OUT = jnp.where(vval[:, None], OUT[vlanes], 0)
+            SB = jnp.where(vval[None, :], _gather_words(SB, vlanes), 0)
+            ZB = jnp.where(vval[None, :], _gather_words(ZB, vlanes), 0)
             E = jnp.where(val[:, None], new_index[E], 0)
-            return V, OUT, E, n_used
+            return V, OUT, E, SB, ZB, n_used
 
-        V, OUT, E, nV = jax.lax.cond(
+        V, OUT, E, SB, ZB, nV = jax.lax.cond(
             (idx % 8 == 7) | (nV + 2 * CCAP > VCAP),
-            _compact_vertices, lambda args: args, (V, OUT, E, nV))
+            _compact_vertices, lambda args: args, (V, OUT, E, SB, ZB, nV))
 
-        return State(V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw)
+        return State(V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw,
+                     SB, ZB, EB, LD)
 
     return step, _prune
 
@@ -943,8 +1022,19 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         hw0 = jnp.stack([jnp.int32(0)] * 4
                         + [jnp.int32(nV0), jnp.int32(nE0)]
                         + [jnp.int32(0)] * 7)
+        # one-time pack of the skeleton's static sign/zero words and the
+        # per-edge split words / last-differ columns (the loop maintains
+        # them incrementally at every vertex/edge creation site)
+        SB0, ZB0 = _pack_out_words(OUT0, eps)
+        se0 = jnp.where(aliveE0, E0[:, 0], 0)
+        se1 = jnp.where(aliveE0, E0[:, 1], 0)
+        eb0, ld0 = _edge_bits(
+            _gather_words(SB0, se0), _gather_words(ZB0, se0),
+            _gather_words(SB0, se1), _gather_words(ZB0, se1))
         state = State(V0, OUT0, E0, aliveV0, aliveE0, nV0, nE0,
-                      ovf0, hw0)
+                      ovf0, hw0, SB0, ZB0,
+                      jnp.where(aliveE0[None, :], eb0, 0),
+                      jnp.where(aliveE0, ld0, -1))
 
         lut = jnp.searchsorted(
             marks, jnp.arange(LUTN, dtype=marks.dtype) / LUTN
@@ -961,7 +1051,7 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                      prune=False)
 
         # extract_skeleton: |last col| < eps, inside [0,1]^D (subpoly.py:556-581)
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state
+        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state[:9]
 
         # pre-filter funnel counts (the reference's "A/B" in its
         # "# of vertices and edges = A/B => C/D" line, subpoly.py:71-84):
