@@ -240,3 +240,45 @@ def test_region_mask_and_offset():
     # 0.90005 within eps of mark .9 -> mask 0, offset 5
     np.testing.assert_array_equal(np.asarray(offset), [[1, 2, 5]])
     np.testing.assert_array_equal(np.asarray(mask), [[1, 0, 0]])
+
+
+def test_encode_lattice_matches_pointwise():
+    """The factored separable-lattice encode (dense levels as three axis
+    contractions, hash levels pointwise) agrees with the 8-corner gather
+    encode to f32 rounding on every level mix, including boundary coords
+    (reference evaluates the skeleton lattice pointwise, tropical.py:81-111;
+    the device skeleton routes through encode_lattice)."""
+    from tropical.core.hashgrid import encode_lattice
+
+    rng = np.random.default_rng(7)
+    for (nmin, nmax, T) in [(2, 8, 19), (16, 256, 19), (16, 512, 15)]:
+        spec = HashGridSpec(levels=4, features=2, log2_table=T,
+                            n_min=nmin, n_max=nmax)
+        params = init_params(spec, jax.random.PRNGKey(0)) * 1000
+        xs = jnp.asarray(np.sort(np.concatenate(
+            [[0.0, 1.0], rng.uniform(0, 1, 9)])).astype(np.float32))
+        ys = jnp.asarray(np.sort(rng.uniform(0, 1, 8)).astype(np.float32))
+        zs = jnp.asarray(np.linspace(0, 1, 7).astype(np.float32))
+        gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+        pts = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
+        a = np.asarray(encode(spec, params, pts))
+        b = np.asarray(encode_lattice(spec, params, xs, ys, zs))
+        assert np.abs(a - b).max() < 1e-6, (nmin, nmax, T)
+
+
+def test_encode_lattice_gradient_matches():
+    """jvp axis tangents through encode_lattice equal the pointwise jvp
+    (the skeleton's |grad sdf| Lipschitz bound rides this path)."""
+    from tropical.core.hashgrid import encode_lattice
+
+    spec = HashGridSpec(levels=3, features=2, log2_table=15,
+                        n_min=4, n_max=64)
+    params = init_params(spec, jax.random.PRNGKey(1)) * 1000
+    xs = jnp.asarray(np.linspace(0.05, 0.95, 5).astype(np.float32))
+    gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
+    e = jnp.zeros_like(pts).at[:, 0].set(1.0)
+    _, tp = jax.jvp(lambda p: encode(spec, params, p), (pts,), (e,))
+    _, tl = jax.jvp(lambda a: encode_lattice(spec, params, a, xs, xs),
+                    (xs,), (jnp.ones_like(xs),))
+    assert np.abs(np.asarray(tp) - np.asarray(tl)).max() < 1e-4

@@ -25,7 +25,7 @@ import numpy as np
 from tropical.core import mlp as mlp_mod
 from tropical.core.buffers import padded_apply
 from tropical.core.hashgrid import (HashGridSpec, TropicalHashGrid,
-                                    encode, init_params)
+                                    encode, encode_lattice, init_params)
 
 
 @dataclass(frozen=True)
@@ -97,6 +97,21 @@ def net_outputs(spec: NetSpec, params, x, group: int = 1):
     """The R gathered 'neuron distance' columns [B, R]."""
     _, gathered = net_forward(spec, params, x, gather=True, group=group)
     return gathered
+
+
+def net_outputs_lattice(spec: NetSpec, params, xw, yw, zw):
+    """R gathered columns over the separable world-coordinate lattice
+    {xw} x {yw} x {zw} -> [Nx*Ny*Nz, R], x-major point order — equal (to f32
+    rounding) to ``net_outputs`` over the meshgrid, but dense hash-grid
+    levels are evaluated with the gather-free factored interpolation of
+    :func:`tropical.core.hashgrid.encode_lattice` (the extraction skeleton's
+    hot path; reference tropical.py:81-111 evaluates the same lattice
+    pointwise on GPU)."""
+    feats = encode_lattice(spec.grid, params["table"],
+                           preprocess(spec, xw), preprocess(spec, yw),
+                           preprocess(spec, zw))
+    return mlp_mod.mlp_forward(params["mlp"], feats.astype(jnp.float32),
+                               gather=True, eps=spec.eps)[1]
 
 
 def net_region(spec: NetSpec, params, marks, x, output=None, eps: float | None = None):

@@ -41,11 +41,14 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tropical.core.net import NetSpec, net_outputs, net_sdf, preprocess
+from tropical.core.net import (NetSpec, net_outputs, net_outputs_lattice,
+                               net_sdf, preprocess)
 from tropical.core.trilinear import intersection_of_two_planes
 from tropical.extract import stats
 
@@ -1351,6 +1354,31 @@ def _sdf_dist_grad(spec: NetSpec, params, world):
     return out, jnp.abs(sd), gn
 
 
+# the skeleton's lattice forward: factored dense-level interpolation
+# (encode_lattice) unless disabled; flip to "0" to fall back to the
+# pointwise-gather forward for A/B or bit-for-bit debugging vs hosts
+_USE_LATTICE_ENC = os.environ.get("TROPICAL_LATTICE_ENC", "1") != "0"
+
+
+def _sdf_dist_grad_lattice(spec: NetSpec, params, xw, yw, zw):
+    """Lattice-forward variant of :func:`_sdf_dist_grad`: the three axis
+    tangents ride jvp through :func:`net_outputs_lattice`, whose dense-level
+    tangents are einsums against the weight-derivative matrices — no extra
+    gathers (same vjp-SIGILL avoidance as the pointwise variant)."""
+    f = lambda a, b, c: net_outputs_lattice(spec, params, a, b, c)
+    tangents = []
+    out = None
+    for d in range(3):
+        t3 = [jnp.zeros_like(xw), jnp.zeros_like(yw), jnp.zeros_like(zw)]
+        t3[d] = jnp.ones_like(t3[d])
+        out, t = jax.jvp(f, (xw, yw, zw), tuple(t3))
+        tangents.append(t[:, -1])
+    gl = jnp.stack(tangents, axis=-1)
+    sd = jnp.tanh(out[:, -1])
+    gn = jnp.linalg.norm(gl, axis=-1) * (1.0 - sd * sd)
+    return out, jnp.abs(sd), gn
+
+
 def _lipschitz_keepv(dist, gnorm, marks, k: int):
     """Per-vertex distance-bound keep mask (reference _skeleton_dist,
     tropical.py:113-138: keep if |sdf| <= sqrt(3)*2*max_cell*max_grad) with a
@@ -1393,18 +1421,28 @@ def _dist_pool_k(marks) -> int:
 def _skel_single_block(spec: NetSpec, params, marks, M: int, eps: float,
                        mode: str, dist_k: int, SV: int, SE: int):
     """Whole-lattice skeleton body (float outputs fit HBM)."""
-    ax = jnp.arange(M, dtype=jnp.int32)
-    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
-    xu = jnp.stack([jnp.take(marks, g.reshape(-1), axis=0)
-                    for g in (gx, gy, gz)], axis=-1)
-    world = xu * (spec.scale * 2) - spec.scale
-    if mode == "dist":
-        out, dq, gn = _sdf_dist_grad(spec, params, world)
-        keepv = _lipschitz_keepv(dq.reshape(M, M, M), gn.reshape(M, M, M),
-                                 marks, dist_k)
+    if _USE_LATTICE_ENC:
+        aw = marks * (spec.scale * 2) - spec.scale
+        if mode == "dist":
+            out, dq, gn = _sdf_dist_grad_lattice(spec, params, aw, aw, aw)
+            keepv = _lipschitz_keepv(dq.reshape(M, M, M),
+                                     gn.reshape(M, M, M), marks, dist_k)
+        else:
+            out = net_outputs_lattice(spec, params, aw, aw, aw)
+            keepv = None
     else:
-        out = net_outputs(spec, params, world)
-        keepv = None
+        ax = jnp.arange(M, dtype=jnp.int32)
+        gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+        xu = jnp.stack([jnp.take(marks, g.reshape(-1), axis=0)
+                        for g in (gx, gy, gz)], axis=-1)
+        world = xu * (spec.scale * 2) - spec.scale
+        if mode == "dist":
+            out, dq, gn = _sdf_dist_grad(spec, params, world)
+            keepv = _lipschitz_keepv(dq.reshape(M, M, M),
+                                     gn.reshape(M, M, M), marks, dist_k)
+        else:
+            out = net_outputs(spec, params, world)
+            keepv = None
     sgn = _eps_sign(out, eps).astype(jnp.int8).reshape(M, M, M, R_COLS)
     mask, ea, eb = _edges_from_sgn(sgn, M, keepv)
     return _squeeze_edges(spec, mask, ea, eb, M, SV, SE,
@@ -1426,10 +1464,17 @@ def _skel_slab(spec: NetSpec, params, marks, M: int, S: int, n_slabs: int,
             x0 = jnp.minimum(si * S, M - S)
             xs = x0 + jnp.arange(S, dtype=jnp.int32)
             mk_x = jnp.take(marks, xs, axis=0, mode="clip")
-            gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
-            pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-            world = pts * (spec.scale * 2) - spec.scale
-            out, dq, gn = _sdf_dist_grad(spec, params, world)
+            if _USE_LATTICE_ENC:
+                out, dq, gn = _sdf_dist_grad_lattice(
+                    spec, params,
+                    mk_x * (spec.scale * 2) - spec.scale,
+                    marks * (spec.scale * 2) - spec.scale,
+                    marks * (spec.scale * 2) - spec.scale)
+            else:
+                gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
+                pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+                world = pts * (spec.scale * 2) - spec.scale
+                out, dq, gn = _sdf_dist_grad(spec, params, world)
             sg = _eps_sign(out, eps).astype(jnp.int8).reshape(
                 S, M, M, R_COLS)
             SGN = jax.lax.dynamic_update_slice(SGN, sg, (x0, 0, 0, 0))
@@ -1446,10 +1491,17 @@ def _skel_slab(spec: NetSpec, params, marks, M: int, S: int, n_slabs: int,
             x0 = jnp.minimum(si * S, M - S)
             xs = x0 + jnp.arange(S, dtype=jnp.int32)
             mk_x = jnp.take(marks, xs, axis=0, mode="clip")
-            gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
-            pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-            world = pts * (spec.scale * 2) - spec.scale
-            o = net_outputs(spec, params, world)
+            if _USE_LATTICE_ENC:
+                o = net_outputs_lattice(
+                    spec, params,
+                    mk_x * (spec.scale * 2) - spec.scale,
+                    marks * (spec.scale * 2) - spec.scale,
+                    marks * (spec.scale * 2) - spec.scale)
+            else:
+                gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
+                pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+                world = pts * (spec.scale * 2) - spec.scale
+                o = net_outputs(spec, params, world)
             sg = _eps_sign(o, eps).astype(jnp.int8).reshape(
                 S, M, M, R_COLS)
             return jax.lax.dynamic_update_slice(SGN, sg, (x0, 0, 0, 0))
