@@ -214,16 +214,29 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
     for the flat/force path — one XLA dispatch for all 33 insertions — and the
     host-orchestrated loop otherwise; "host"/"device" force a choice.
 
-    mesh: a jax.sharding.Mesh fans every batched forward (candidate/corner
-    evaluations — the dominant FLOPs of each insertion step) out over all its
-    devices; results are bit-identical to single-device (the per-row math is
-    unchanged, only placement differs).  Implies the host engine for >1
-    device: the fused single-dispatch engine is single-chip, so a 1-device
-    mesh routes straight to it instead of paying the host loop.
+    mesh: a jax.sharding.Mesh.  Extraction always takes the FASTEST engine
+    available: for supported nets that is the fused single-dispatch device
+    engine, which is latency-bound and runs as one single-chip XLA program
+    (measured: it beats the dp-fanned host loop on every headline config by
+    >5x, so "sharding" extraction over the mesh by fanning host-loop
+    forwards would be a slowdown, not a speedup — the mesh still
+    accelerates training, chamfer and the MC/MT eval ladders, which are
+    throughput-bound).  Unsupported nets keep the host loop with every
+    batched forward (candidate/corner evaluations) dp-fanned over the mesh
+    devices; those results are bit-identical to single-device (the per-row
+    math is unchanged, only placement differs).
     """
     if mesh is not None and mesh.size > 1:
-        net = net.sharded(mesh)
-        engine = "host"
+        from tropical.extract.device import device_engine_supports
+
+        if engine in ("auto", "device") and device_engine_supports(net):
+            # single-chip fused program on the mesh's first device; params
+            # stay replicated (extraction gathers are latency-critical —
+            # an mp-sharded table would turn every gather into a collective)
+            engine = "device"
+        else:
+            net = net.sharded(mesh)
+            engine = "host"
     if engine == "auto":
         from tropical.extract.device import device_engine_supports
 
