@@ -116,8 +116,11 @@ class State(NamedTuple):
     #                     re-derive tight caps
     SB: jax.Array       # [NW, VCAP] u32 per-vertex sign words (out > 0)
     ZB: jax.Array       # [NW, VCAP] u32 per-vertex zero words (|out| <= eps)
+    SZ: jax.Array       # [NW, VCAP] u32 per-vertex strict words (|out| < eps)
     EB: jax.Array       # [NW, ECAP] u32 per-edge split words (see _edge_bits)
     LD: jax.Array       # [ECAP] i32 per-edge last eps-sign-differing column
+    EZ0: jax.Array      # [NW, ECAP] u32 endpoint-0 strict words (hit scan)
+    EZ1: jax.Array      # [NW, ECAP] u32 endpoint-1 strict words
 
 
 def _eps_sign(out, eps):
@@ -136,7 +139,7 @@ def _pack_out_words(out, eps):
     once at vertex creation and the per-step split/prune predicates become
     bit tests instead of pool-wide float gathers (the idle-step probe was
     ~2 ECAP-sized gathers x 33 steps — the single largest cost at M=201)."""
-    sb, zb = [], []
+    sb, zb, sz = [], [], []
     for w in range(NW):
         lo, hi = 32 * w, min(32 * w + 32, R_COLS)
         bit = jnp.uint32(1) << jnp.arange(hi - lo, dtype=jnp.uint32)
@@ -145,7 +148,13 @@ def _pack_out_words(out, eps):
                           axis=1, dtype=jnp.uint32))
         zb.append(jnp.sum((jnp.abs(blk) <= eps).astype(jnp.uint32)
                           * bit[None, :], axis=1, dtype=jnp.uint32))
-    return jnp.stack(sb), jnp.stack(zb)
+        # strict band |out| < eps: the hit-vertex scan's predicate
+        # (subpoly.py:232-239) is strict, the split/prune trits are not —
+        # they differ only at |out| == eps exactly, but bit-parity with the
+        # host engine demands both
+        sz.append(jnp.sum((jnp.abs(blk) < eps).astype(jnp.uint32)
+                          * bit[None, :], axis=1, dtype=jnp.uint32))
+    return jnp.stack(sb), jnp.stack(zb), jnp.stack(sz)
 
 
 def _high_bit(v):
@@ -393,42 +402,43 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         largest cost at M=201).  Busy steps recompute the full-width float
         mask (they need the d-values anyway) and dispatch to a small- or
         big-tier pipeline by live candidate counts."""
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw, SB, ZB, EB, LD = state
+        (V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw,
+         SB, ZB, SZ, EB, LD, EZ0, EZ1) = state
 
         # --- 1. sign-change split probe (reference subpoly.py:102-105), as a
         # bit test on the static per-edge split words ------------------------
-        word = jax.lax.dynamic_index_in_dim(EB, idx >> 5, axis=0,
-                                            keepdims=False)
-        pbit = jax.lax.shift_right_logical(
-            word, (idx & 31).astype(jnp.uint32)) & jnp.uint32(1)
-        has_split = (aliveE & (pbit > 0)).any()
+        wi = idx >> 5
+        shift = (idx & 31).astype(jnp.uint32)
 
-        def precond():
-            ocp = jnp.take(OUT, idx, axis=1)      # [VCAP]
-            d0p = ocp[E[:, 0]]
-            d1p = ocp[E[:, 1]]
-            return ocp, d0p, d1p, (aliveE & ((d0p * d1p) < 0)
-                                   & (jnp.abs(d0p) > eps)
-                                   & (jnp.abs(d1p) > eps))
+        def bitcol(W2):
+            w = jax.lax.dynamic_index_in_dim(W2, wi, axis=0, keepdims=False)
+            return (jax.lax.shift_right_logical(w, shift) & jnp.uint32(1)) > 0
+
+        split_col = aliveE & bitcol(EB)
+        has_split = split_col.any()
 
         def dispatch(st):
-            outcol, d0, d1, split = precond()
+            # busy steps read the hit predicates from the per-edge endpoint
+            # strict-zero words; d-values are gathered only at the candidate
+            # and hit lanes inside _busy_step — no pool-wide float gathers
+            # anywhere in the pipeline
+            h0 = bitcol(EZ0)
+            h1 = bitcol(EZ1)
 
             if not two_tier:
                 return _busy_step(params, marks, lut, TIER_BIG, st, idx,
-                                  prune, outcol, d0, d1, split)
+                                  prune, split_col, h0, h1)
 
             # tier selection runs only on busy steps (the count reductions
             # cost real passes over the edge pool; idle steps skip them)
-            n_split = split.sum().astype(jnp.int32)
-            n_he = (aliveE & ((jnp.abs(d0) < eps) | (jnp.abs(d1) < eps))) \
-                .sum().astype(jnp.int32)
+            n_split = split_col.sum().astype(jnp.int32)
+            n_he = (aliveE & (h0 | h1)).sum().astype(jnp.int32)
             pred_small = (n_split <= TIER_SMALL[0]) \
                 & (n_he <= 4 * TIER_SMALL[1])
             st1 = jax.lax.cond(
                 pred_small,
                 lambda q: _busy_step(params, marks, lut, TIER_SMALL, q, idx,
-                                     prune, outcol, d0, d1, split),
+                                     prune, split_col, h0, h1),
                 lambda q: q,
                 st)
             # a small-tier capacity miss (pairs/conn/tier-B are only known
@@ -439,15 +449,15 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             return jax.lax.cond(
                 ~pred_small | small_failed,
                 lambda pair: _busy_step(params, marks, lut, TIER_BIG,
-                                        pair[0], idx, prune, outcol, d0, d1,
-                                        split),
+                                        pair[0], idx, prune, split_col,
+                                        h0, h1),
                 lambda pair: pair[1],
                 (st, st1))
 
         return jax.lax.cond(has_split, dispatch, lambda st: st, state)
 
     def _busy_step(params, marks, lut, tier, state: State, idx,
-                   prune: bool, outcol, d0, d1, split) -> State:
+                   prune: bool, split, h0, h1) -> State:
         # per-tier candidate capacities: late insertions split a fraction of
         # the peak step's edges, so a small-tier pipeline (1/8 buffers) runs
         # most busy steps at a fraction of the gather/sort cost; the
@@ -455,7 +465,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # overflows (reference semantics are cap-independent)
         CCAP, HCAP, PCAP, CONNCAP, HB, QC = tier
         CAND = CCAP + HCAP
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw, SB, ZB, EB, LD = state
+        (V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw,
+         SB, ZB, SZ, EB, LD, EZ0, EZ1) = state
 
         # --- 2. compact split edges into the candidate block -----------------
         lanes, cval, n_split = _compact_lanes(split, CCAP)
@@ -463,8 +474,10 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         ovf = ovf | jnp.where(nV + n_split > VCAP - CCAP, OVF_V, 0)
         ce0 = E[lanes, 0]
         ce1 = E[lanes, 1]
-        cd0 = d0[lanes]
-        cd1 = jnp.where(cval, d1[lanes], 1.0)
+        # d-values of the current plane, gathered at candidate lanes only
+        ocp = jnp.take(OUT, idx, axis=1)           # [VCAP] column slice
+        cd0 = ocp[ce0]
+        cd1 = jnp.where(cval, ocp[ce1], 1.0)
 
         # --- 3. linear interpolation (subpoly.py:117,180) ---------------------
         wgt = jnp.abs(cd0) / jnp.maximum(jnp.abs(cd1 - cd0), 1e-30)
@@ -648,11 +661,13 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # pack the new rows' sign/zero words once (slot space, pre-compaction:
         # rewrite + append sites below index them by slot) and store the
         # survivor-compacted block alongside OUT
-        sb_pre, zb_pre = _pack_out_words(cand_out, eps)        # [NW, CCAP]
+        sb_pre, zb_pre, sz_pre = _pack_out_words(cand_out, eps)  # [NW, CCAP]
         sb_s = jnp.where(sval[None, :], _gather_words(sb_pre, slanes), 0)
         zb_s = jnp.where(sval[None, :], _gather_words(zb_pre, slanes), 0)
+        sz_s = jnp.where(sval[None, :], _gather_words(sz_pre, slanes), 0)
         SB = jax.lax.dynamic_update_slice(SB, sb_s, (0, start_v))
         ZB = jax.lax.dynamic_update_slice(ZB, zb_s, (0, start_v))
+        SZ = jax.lax.dynamic_update_slice(SZ, sz_s, (0, start_v))
         # aliveV is not maintained per step: liveness is implied by aliveE
         # (the hit scan walks edges); the epilogue recomputes it once
 
@@ -686,17 +701,23 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # survived; a = ce0[s], new vertex words = the slot-space pack)
         rw_p_sb = _gather_words(SB, ce0)
         rw_p_zb = _gather_words(ZB, ce0)
+        rw_p_sz = _gather_words(SZ, ce0)
         eb_rw, ld_rw = _edge_bits(rw_p_sb, rw_p_zb, sb_pre, zb_pre)
         rw_tgt = jnp.where(cval & keep_c, lanes, ECAP)
         EB = jnp.stack([EB[w].at[rw_tgt].set(eb_rw[w], mode="drop")
                         for w in range(NW)])
         LD = LD.at[rw_tgt].set(ld_rw, mode="drop")
+        EZ0 = jnp.stack([EZ0[w].at[rw_tgt].set(rw_p_sz[w], mode="drop")
+                         for w in range(NW)])
+        EZ1 = jnp.stack([EZ1[w].at[rw_tgt].set(sz_pre[w], mode="drop")
+                         for w in range(NW)])
 
         ra = jnp.where(sval, old_second[slanes], 0)
         rb = nV + jnp.arange(CCAP, dtype=jnp.int32)
         # appended edges (old second endpoint, new vertex), survivor space
         ap_p_sb = _gather_words(SB, ra)
         ap_p_zb = _gather_words(ZB, ra)
+        ap_p_sz = _gather_words(SZ, ra)
         eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
         if prefilter:
             keep_r = sval & (ld_ap >= idx)
@@ -714,12 +735,18 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         ld_blk = jnp.where(rval, ld_ap[rlanes], -1)
         EB = jax.lax.dynamic_update_slice(EB, eb_blk, (0, start_e))
         LD = jax.lax.dynamic_update_slice(LD, ld_blk, (start_e,))
+        EZ0 = jax.lax.dynamic_update_slice(
+            EZ0, jnp.where(rval[None, :], _gather_words(ap_p_sz, rlanes), 0),
+            (0, start_e))
+        EZ1 = jax.lax.dynamic_update_slice(
+            EZ1, jnp.where(rval[None, :], _gather_words(sz_s, rlanes), 0),
+            (0, start_e))
         nE2 = nE + n_eapp
         nV2 = nV + n_new
 
         if "pairs" in disable:  # profiling cut: skip stages 8-12
             state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw,
-                          SB, ZB, EB, LD)
+                          SB, ZB, SZ, EB, LD, EZ0, EZ1)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -730,8 +757,6 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         #     (pre-append) alive edges ARE the hit set — found with one edge
         #     compaction + a tiny sort instead of per-step vertex liveness
         #     (which needed a bool scatter every prune).
-        h0 = jnp.abs(d0) < eps
-        h1 = jnp.abs(d1) < eps
         he = aliveE_pre & (h0 | h1)
         HE = 4 * HCAP  # hit vertices appear once per incident edge
         helanes, heval, n_he_busy = _compact_lanes(he, HE)
@@ -810,7 +835,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         if "repsort" in disable:  # profiling cut: expansion only
             ovf = ovf | (k1f.max() * 0) | (k2f.max() * 0) | (k3f.max() * 0)
             state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw,
-                          SB, ZB, EB, LD)
+                          SB, ZB, SZ, EB, LD, EZ0, EZ1)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -820,7 +845,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         if "windows" in disable:  # profiling cut: expansion + sort only
             ovf = ovf | (srow.max() * 0) | (sk1.max() * 0)
             state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw,
-                          SB, ZB, EB, LD)
+                          SB, ZB, SZ, EB, LD, EZ0, EZ1)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -852,7 +877,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         if "paircompact" in disable:  # profiling cut: stop after pair counts
             ovf = ovf | (cum.max() * 0) | (rank.max() * 0)
             state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw,
-                          SB, ZB, EB, LD)
+                          SB, ZB, SZ, EB, LD, EZ0, EZ1)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -888,7 +913,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         if "dedup" in disable:  # profiling cut: stop before the dedup sort
             ovf = ovf | (keep_pair.any() * 0)
             state = State(V, OUT, E, aliveV, aliveE, nV2, nE2, ovf, hw,
-                          SB, ZB, EB, LD)
+                          SB, ZB, SZ, EB, LD, EZ0, EZ1)
             if prune and "prune" not in disable:
                 state = _prune(state, idx, eps)
             return state
@@ -931,6 +956,12 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             EB, jnp.where(uval[None, :], eb_cn, 0), (0, start_e2))
         LD = jax.lax.dynamic_update_slice(
             LD, jnp.where(uval, ld_cn, -1), (start_e2,))
+        EZ0 = jax.lax.dynamic_update_slice(
+            EZ0, jnp.where(uval[None, :],
+                           _gather_words(SZ, c_app[:, 0]), 0), (0, start_e2))
+        EZ1 = jax.lax.dynamic_update_slice(
+            EZ1, jnp.where(uval[None, :],
+                           _gather_words(SZ, c_app[:, 1]), 0), (0, start_e2))
         nE3 = nE2 + n_conn
 
         z = jnp.int32(0)
@@ -942,7 +973,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             n_split, hit_need, n_pairs, n_conn, nV2, nE3, n_b, z, z, z, z,
             n_cv if not force else z, z]))
         state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw,
-                      SB, ZB, EB, LD)
+                      SB, ZB, SZ, EB, LD, EZ0, EZ1)
         if prune and "prune" not in disable:
             state = _prune(state, idx, eps)
         return state
@@ -959,7 +990,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         more per step than the vertex-width passes they save; lazy still
         bounds the pool at roughly the live maximum (order-preserving
         renumber, so the final mesh ordering is unchanged)."""
-        V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw, SB, ZB, EB, LD = state
+        (V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw,
+         SB, ZB, SZ, EB, LD, EZ0, EZ1) = state
 
         keep = aliveE & (LD >= idx)
 
@@ -968,11 +1000,13 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         E = jnp.where(val[:, None], E[lanes], 0)
         EB = jnp.where(val[None, :], _gather_words(EB, lanes), 0)
         LD = jnp.where(val, LD[lanes], -1)
+        EZ0 = jnp.where(val[None, :], _gather_words(EZ0, lanes), 0)
+        EZ1 = jnp.where(val[None, :], _gather_words(EZ1, lanes), 0)
         nE = n_keep
         aliveE = val
 
         def _compact_vertices(args):
-            V, OUT, E, SB, ZB, nV = args
+            V, OUT, E, SB, ZB, SZ, nV = args
             used = jnp.zeros(VCAP, bool)
             used = used.at[jnp.where(val, E[:, 0], VCAP)].set(
                 True, mode="drop")
@@ -984,15 +1018,17 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             OUT = jnp.where(vval[:, None], OUT[vlanes], 0)
             SB = jnp.where(vval[None, :], _gather_words(SB, vlanes), 0)
             ZB = jnp.where(vval[None, :], _gather_words(ZB, vlanes), 0)
+            SZ = jnp.where(vval[None, :], _gather_words(SZ, vlanes), 0)
             E = jnp.where(val[:, None], new_index[E], 0)
-            return V, OUT, E, SB, ZB, n_used
+            return V, OUT, E, SB, ZB, SZ, n_used
 
-        V, OUT, E, SB, ZB, nV = jax.lax.cond(
+        V, OUT, E, SB, ZB, SZ, nV = jax.lax.cond(
             (idx % 8 == 7) | (nV + 2 * CCAP > VCAP),
-            _compact_vertices, lambda args: args, (V, OUT, E, SB, ZB, nV))
+            _compact_vertices, lambda args: args,
+            (V, OUT, E, SB, ZB, SZ, nV))
 
         return State(V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw,
-                     SB, ZB, EB, LD)
+                     SB, ZB, SZ, EB, LD, EZ0, EZ1)
 
     return step, _prune
 
@@ -1028,16 +1064,20 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         # one-time pack of the skeleton's static sign/zero words and the
         # per-edge split words / last-differ columns (the loop maintains
         # them incrementally at every vertex/edge creation site)
-        SB0, ZB0 = _pack_out_words(OUT0, eps)
+        SB0, ZB0, SZ0 = _pack_out_words(OUT0, eps)
         se0 = jnp.where(aliveE0, E0[:, 0], 0)
         se1 = jnp.where(aliveE0, E0[:, 1], 0)
         eb0, ld0 = _edge_bits(
             _gather_words(SB0, se0), _gather_words(ZB0, se0),
             _gather_words(SB0, se1), _gather_words(ZB0, se1))
         state = State(V0, OUT0, E0, aliveV0, aliveE0, nV0, nE0,
-                      ovf0, hw0, SB0, ZB0,
+                      ovf0, hw0, SB0, ZB0, SZ0,
                       jnp.where(aliveE0[None, :], eb0, 0),
-                      jnp.where(aliveE0, ld0, -1))
+                      jnp.where(aliveE0, ld0, -1),
+                      jnp.where(aliveE0[None, :],
+                                _gather_words(SZ0, se0), 0),
+                      jnp.where(aliveE0[None, :],
+                                _gather_words(SZ0, se1), 0))
 
         lut = jnp.searchsorted(
             marks, jnp.arange(LUTN, dtype=marks.dtype) / LUTN
