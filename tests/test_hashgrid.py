@@ -266,6 +266,25 @@ def test_encode_lattice_matches_pointwise():
         assert np.abs(a - b).max() < 1e-6, (nmin, nmax, T)
 
 
+def test_encode_lattice_factors_hashed_level():
+    """On a lattice dense enough that gathering a hashed level's K^3 corner
+    grid beats 8 gathers/point, the factored path must still match the
+    pointwise encode (the hash only relocates corner values)."""
+    from tropical.core.hashgrid import encode_lattice
+
+    spec = HashGridSpec(levels=2, features=2, log2_table=10,
+                        n_min=4, n_max=16)
+    assert spec.level_uses_hash(1)          # 16^3 > 2^10
+    params = init_params(spec, jax.random.PRNGKey(2)) * 1000
+    xs = jnp.asarray(np.linspace(0, 1, 17).astype(np.float32))
+    # 8 * 17^3 = 39304 > K^3 = 18^3 = 5832 -> hashed level factorizes
+    gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
+    a = np.asarray(encode(spec, params, pts))
+    b = np.asarray(encode_lattice(spec, params, xs, xs, xs))
+    assert np.abs(a - b).max() < 1e-6
+
+
 def test_encode_lattice_gradient_matches():
     """jvp axis tangents through encode_lattice equal the pointwise jvp
     (the skeleton's |grad sdf| Lipschitz bound rides this path)."""

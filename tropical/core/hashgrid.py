@@ -190,11 +190,22 @@ def encode_lattice(spec: HashGridSpec, params: jax.Array, xs: jax.Array,
     D = spec.dim
     assert D == 3, "separable lattice encode is 3-D"
     Nx, Ny, Nz = xs.shape[0], ys.shape[0], zs.shape[0]
-    table = 1 << spec.log2_table
     outs = []
     pts = None
     for l in range(spec.levels):
-        if spec.level_uses_hash(l):
+        res = spec.level_resolution(l)
+        # corner coordinates reachable from unit-cube queries: pos = x*s+0.5
+        # with x <= 1 gives floor(pos)+1 <= s+1 <= res+1, so K=res+2 bins
+        # cover every corner without clamping
+        K = res + 2
+        # factoring needs the level's full corner-value grid (K^3 gathered
+        # entries, incl. HASHED levels — the hash only decides where corner
+        # values come from, the interpolation still factors); fall back to
+        # the pointwise 8-corner encode when gathering that grid costs more
+        # than the 8 gathers per query point it replaces.  The grid is
+        # query-independent, so XLA's loop-invariant code motion hoists it
+        # out of slab sweeps (one gather for the whole lattice).
+        if K ** 3 > 8 * Nx * Ny * Nz or K ** 3 * spec.features * 4 > 2 ** 29:
             if pts is None:
                 gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
                 pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, D)
@@ -203,15 +214,11 @@ def encode_lattice(spec: HashGridSpec, params: jax.Array, xs: jax.Array,
             continue
         scale = spec.level_scale(l)
         off = spec.level_offsets[l]
-        res = spec.level_resolution(l)
-        # corner coordinates reachable from unit-cube queries: pos = x*s+0.5
-        # with x <= 1 gives floor(pos)+1 <= s+1 <= res+1, so K=res+2 bins
-        # cover every corner without clamping
-        K = res + 2
         ax = jnp.arange(K, dtype=jnp.int32)
         ga, gb, gc = jnp.meshgrid(ax, ax, ax, indexing="ij")
-        # exact _level_indices dense formula (incl. the unconditional mod)
-        idx = jnp.remainder(ga + gb * res + gc * res * res, table)
+        # exact per-level index formula (dense linear or prime hash, incl.
+        # the unconditional mod — _level_indices is the single source)
+        idx = _level_indices(spec, l, jnp.stack([ga, gb, gc], axis=-1))
         G = jnp.take(params, off + idx.reshape(-1), axis=0,
                      mode="clip").reshape(K, K, K, spec.features)
         Ws = []
