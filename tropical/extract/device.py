@@ -994,16 +994,33 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
          SB, ZB, SZ, EB, LD, EZ0, EZ1) = state
 
         keep = aliveE & (LD >= idx)
+        n_keep = keep.sum().astype(jnp.int32)
 
-        # compact surviving edges to the prefix (order-preserving, sort-free)
-        lanes, val, n_keep = _compact_lanes(keep, ECAP)
-        E = jnp.where(val[:, None], E[lanes], 0)
-        EB = jnp.where(val[None, :], _gather_words(EB, lanes), 0)
-        LD = jnp.where(val, LD[lanes], -1)
-        EZ0 = jnp.where(val[None, :], _gather_words(EZ0, lanes), 0)
-        EZ1 = jnp.where(val[None, :], _gather_words(EZ1, lanes), 0)
-        nE = n_keep
-        aliveE = val
+        # compact surviving edges to the prefix only when dead lanes pile up
+        # (>25% of live) or the pool nears its append headroom — compaction
+        # reorders five pool-wide arrays (~6 ECAP gathers), while a masked
+        # aliveE costs nothing: every consumer (probe bit test, hit scan,
+        # prune, epilogue) is aliveE-masked, appends go through the nE
+        # cursor past any holes, and compaction is order-preserving, so
+        # deferring it never changes the final mesh — only pool density.
+        def _compact_edges(args):
+            E, EB, LD, EZ0, EZ1 = args
+            lanes, val, _ = _compact_lanes(keep, ECAP)
+            E = jnp.where(val[:, None], E[lanes], 0)
+            EB = jnp.where(val[None, :], _gather_words(EB, lanes), 0)
+            LD = jnp.where(val, LD[lanes], -1)
+            EZ0 = jnp.where(val[None, :], _gather_words(EZ0, lanes), 0)
+            EZ1 = jnp.where(val[None, :], _gather_words(EZ1, lanes), 0)
+            return (E, EB, LD, EZ0, EZ1), val, n_keep
+
+        def _mask_edges(args):
+            return args, keep, nE
+
+        do_compact = ((nE - n_keep) * 4 > n_keep) \
+            | (nE + 2 * (CCAP + caps.conncap) > ECAP)
+        (E, EB, LD, EZ0, EZ1), aliveE, nE = jax.lax.cond(
+            do_compact, _compact_edges, _mask_edges, (E, EB, LD, EZ0, EZ1))
+        val = aliveE
 
         def _compact_vertices(args):
             V, OUT, E, SB, ZB, SZ, nV = args
@@ -1128,11 +1145,15 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         elanes, eval_, n_ekeep = _compact_lanes(e_keep, ECAP)
         E = jnp.where(eval_[:, None], new_index[E[elanes]], 0)
 
+        # funnel "B" counts LIVE edges (deferred prune compaction can leave
+        # the nE cursor past dead holes)
+        nE_live = aliveE.sum().astype(jnp.int32)
+
         if not with_faces:
             # all control scalars in ONE vector: each separate int() pull
             # costs a ~25 ms tunnel round trip
             meta = jnp.concatenate([
-                jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE,
+                jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE_live,
                            jnp.int32(0)]), hw])
             return V, OUT, E, jnp.zeros((0, 3), jnp.int32), meta
 
@@ -1304,7 +1325,7 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                         + [n_used, n_fb, n_rg, total_t, jnp.int32(0), gmax])
         hw = jnp.maximum(hw, hwf)
         meta = jnp.concatenate([
-            jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE, total_t]), hw])
+            jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE_live, total_t]), hw])
         return V, OUT, E, tris, meta
 
     if not with_skeleton:
