@@ -170,8 +170,43 @@ def encode(spec: HashGridSpec, params: jax.Array, x: jax.Array) -> jax.Array:
         axis=-1)
 
 
+def _corner_bins(spec: HashGridSpec, l: int) -> int:
+    """Per-axis corner-coordinate bins covering unit-cube queries: pos =
+    x*s+0.5 with x <= 1 gives floor(pos)+1 <= s+1 <= res+1, so res+2 bins
+    cover every corner without clamping."""
+    return spec.level_resolution(l) + 2
+
+
+def _corner_table(spec: HashGridSpec, params: jax.Array, l: int) -> jax.Array:
+    """Level ``l``'s corner-value grid [K, K, K, F] — every table entry the
+    separable interpolation can touch, gathered once (exact per-level index
+    formula: dense linear or prime hash incl. the unconditional mod —
+    _level_indices is the single source)."""
+    K = _corner_bins(spec, l)
+    ax = jnp.arange(K, dtype=jnp.int32)
+    ga, gb, gc = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    idx = _level_indices(spec, l, jnp.stack([ga, gb, gc], axis=-1))
+    return jnp.take(params, spec.level_offsets[l] + idx.reshape(-1), axis=0,
+                    mode="clip").reshape(K, K, K, spec.features)
+
+
+def lattice_tables(spec: HashGridSpec, params: jax.Array, n_points: int):
+    """Corner-value grids for every level the factored lattice encode will
+    take at a total lattice of ``n_points`` (None where pointwise wins).
+    Compute ONCE outside any slab loop and pass to :func:`encode_lattice` —
+    the grids depend only on params."""
+    tabs = []
+    for l in range(spec.levels):
+        K = _corner_bins(spec, l)
+        if K ** 3 > 8 * n_points or K ** 3 * spec.features * 4 > 2 ** 29:
+            tabs.append(None)
+        else:
+            tabs.append(_corner_table(spec, params, l))
+    return tabs
+
+
 def encode_lattice(spec: HashGridSpec, params: jax.Array, xs: jax.Array,
-                   ys: jax.Array, zs: jax.Array) -> jax.Array:
+                   ys: jax.Array, zs: jax.Array, tables=None) -> jax.Array:
     """Encode the separable lattice {xs} x {ys} x {zs} (unit-cube axis
     coordinate vectors) -> features [Nx*Ny*Nz, L*F], x-major point order
     (identical to ``encode`` over ``meshgrid(xs, ys, zs, indexing='ij')``).
@@ -193,34 +228,27 @@ def encode_lattice(spec: HashGridSpec, params: jax.Array, xs: jax.Array,
     outs = []
     pts = None
     for l in range(spec.levels):
-        res = spec.level_resolution(l)
-        # corner coordinates reachable from unit-cube queries: pos = x*s+0.5
-        # with x <= 1 gives floor(pos)+1 <= s+1 <= res+1, so K=res+2 bins
-        # cover every corner without clamping
-        K = res + 2
+        K = _corner_bins(spec, l)
         # factoring needs the level's full corner-value grid (K^3 gathered
         # entries, incl. HASHED levels — the hash only decides where corner
         # values come from, the interpolation still factors); fall back to
         # the pointwise 8-corner encode when gathering that grid costs more
-        # than the 8 gathers per query point it replaces.  The grid is
-        # query-independent, so XLA's loop-invariant code motion hoists it
-        # out of slab sweeps (one gather for the whole lattice).
-        if K ** 3 > 8 * Nx * Ny * Nz or K ** 3 * spec.features * 4 > 2 ** 29:
-            if pts is None:
-                gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
-                pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, D)
-            outs.append(_encode_level(spec, params, pts, l)
-                        .reshape(Nx, Ny, Nz, spec.features))
-            continue
+        # than the 8 gathers per query point it replaces.  Slab sweeps pass
+        # precomputed ``tables`` (measured: XLA's loop-invariant code motion
+        # did NOT hoist the grid gather out of the slab fori_loop — it cost
+        # K^3 gathered entries per slab until hoisted by hand).
+        G = tables[l] if tables is not None else None
+        if G is None:
+            if K ** 3 > 8 * Nx * Ny * Nz \
+                    or K ** 3 * spec.features * 4 > 2 ** 29:
+                if pts is None:
+                    gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+                    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, D)
+                outs.append(_encode_level(spec, params, pts, l)
+                            .reshape(Nx, Ny, Nz, spec.features))
+                continue
+            G = _corner_table(spec, params, l)
         scale = spec.level_scale(l)
-        off = spec.level_offsets[l]
-        ax = jnp.arange(K, dtype=jnp.int32)
-        ga, gb, gc = jnp.meshgrid(ax, ax, ax, indexing="ij")
-        # exact per-level index formula (dense linear or prime hash, incl.
-        # the unconditional mod — _level_indices is the single source)
-        idx = _level_indices(spec, l, jnp.stack([ga, gb, gc], axis=-1))
-        G = jnp.take(params, off + idx.reshape(-1), axis=0,
-                     mode="clip").reshape(K, K, K, spec.features)
         Ws = []
         for a in (xs, ys, zs):
             pos = a * scale + 0.5

@@ -99,7 +99,7 @@ def net_outputs(spec: NetSpec, params, x, group: int = 1):
     return gathered
 
 
-def net_outputs_lattice(spec: NetSpec, params, xw, yw, zw):
+def net_outputs_lattice(spec: NetSpec, params, xw, yw, zw, tables=None):
     """R gathered columns over the separable world-coordinate lattice
     {xw} x {yw} x {zw} -> [Nx*Ny*Nz, R], x-major point order — equal (to f32
     rounding) to ``net_outputs`` over the meshgrid, but dense hash-grid
@@ -109,7 +109,7 @@ def net_outputs_lattice(spec: NetSpec, params, xw, yw, zw):
     pointwise on GPU)."""
     feats = encode_lattice(spec.grid, params["table"],
                            preprocess(spec, xw), preprocess(spec, yw),
-                           preprocess(spec, zw))
+                           preprocess(spec, zw), tables=tables)
     return mlp_mod.mlp_forward(params["mlp"], feats.astype(jnp.float32),
                                gather=True, eps=spec.eps)[1]
 

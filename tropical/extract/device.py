@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tropical.core.hashgrid import lattice_tables
 from tropical.core.net import (NetSpec, net_outputs, net_outputs_lattice,
                                net_sdf, preprocess)
 from tropical.core.trilinear import intersection_of_two_planes
@@ -469,7 +470,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
          SB, ZB, SZ, EB, LD, EZ0, EZ1) = state
 
         # --- 2. compact split edges into the candidate block -----------------
-        lanes, cval, n_split = _compact_lanes(split, CCAP)
+        with jax.named_scope("s2_compact"):
+            lanes, cval, n_split = _compact_lanes(split, CCAP)
         ovf = ovf | jnp.where(n_split > CCAP, OVF_C, 0)
         ovf = ovf | jnp.where(nV + n_split > VCAP - CCAP, OVF_V, 0)
         ce0 = E[lanes, 0]
@@ -624,7 +626,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         # --- 4. forward on the new vertices -----------------------------------
         if "forward" not in disable:
-            cand_out = net_outputs(spec, params, cand_v)   # [CCAP, R]
+            with jax.named_scope("s4_cand_forward"):
+                cand_out = net_outputs(spec, params, cand_v)   # [CCAP, R]
         else:
             cand_out = jnp.zeros((CCAP, R_COLS), jnp.float32) + cand_v[:, :1]
 
@@ -759,7 +762,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         #     (which needed a bool scatter every prune).
         he = aliveE_pre & (h0 | h1)
         HE = 4 * HCAP  # hit vertices appear once per incident edge
-        helanes, heval, n_he_busy = _compact_lanes(he, HE)
+        with jax.named_scope("s8_hitscan"):
+            helanes, heval, n_he_busy = _compact_lanes(he, HE)
         ovf = ovf | jnp.where(n_he_busy > HE, OVF_H, 0)
         ids0 = jnp.where(heval & h0[helanes], e0_col[helanes], VCAP)
         ids1 = jnp.where(heval & h1[helanes], e1_col[helanes], VCAP)
@@ -818,14 +822,16 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         cand_rows = jnp.arange(CAND, dtype=jnp.int32)
         tierB = all_valid & (kz > 2)
-        kA1, kA2, kA3, rA = _expand4_keys(allcols, cand_o,
-                                          all_valid & ~tierB, kz, cand_rows)
+        with jax.named_scope("s9_expand"):
+            kA1, kA2, kA3, rA = _expand4_keys(allcols, cand_o,
+                                              all_valid & ~tierB, kz,
+                                              cand_rows)
 
-        blanes, bval, n_b = _compact_lanes(tierB, HB)
-        ovf = ovf | jnp.where(n_b > HB, OVF_B, 0)
-        kB1, kB2, kB3, rB = _keys(allcols[blanes], zrank[blanes],
-                                  cand_o[blanes], bval, kz[blanes],
-                                  PREP, KCAP, blanes)
+            blanes, bval, n_b = _compact_lanes(tierB, HB)
+            ovf = ovf | jnp.where(n_b > HB, OVF_B, 0)
+            kB1, kB2, kB3, rB = _keys(allcols[blanes], zrank[blanes],
+                                      cand_o[blanes], bval, kz[blanes],
+                                      PREP, KCAP, blanes)
 
         k1f = jnp.concatenate([kA1, kB1])
         k2f = jnp.concatenate([kA2, kB2])
@@ -840,7 +846,9 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                 state = _prune(state, idx, eps)
             return state
 
-        sk1, sk2, sk3, srow = jax.lax.sort((k1f, k2f, k3f, rowf), num_keys=3)
+        with jax.named_scope("s9_repsort"):
+            sk1, sk2, sk3, srow = jax.lax.sort((k1f, k2f, k3f, rowf),
+                                               num_keys=3)
 
         if "windows" in disable:  # profiling cut: expansion + sort only
             ovf = ovf | (srow.max() * 0) | (sk1.max() * 0)
@@ -886,20 +894,22 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # at its first slot (cum[i]-r[i]; block starts are unique), then a
         # running max fills each block.  Replica 0 never owns pairs, so the
         # zero-init never collides with a real index.
-        starts = jnp.where(r > 0, cum - r, PCAP)
-        marker = jnp.zeros(PCAP, jnp.int32).at[starts].max(
-            irep, mode="drop", unique_indices=True)
-        si = jax.lax.cummax(marker)
-        slot = jnp.arange(PCAP, dtype=jnp.int32)
-        p_valid = slot < n_pairs
-        off = slot - (cum[si] - r[si]) + 1
-        cpa = srow[si]
-        cpb = srow[jnp.clip(si - off, 0, nrep_sz - 1)]
+        with jax.named_scope("s10_pairslots"):
+            starts = jnp.where(r > 0, cum - r, PCAP)
+            marker = jnp.zeros(PCAP, jnp.int32).at[starts].max(
+                irep, mode="drop", unique_indices=True)
+            si = jax.lax.cummax(marker)
+            slot = jnp.arange(PCAP, dtype=jnp.int32)
+            p_valid = slot < n_pairs
+            off = slot - (cum[si] - r[si]) + 1
+            cpa = srow[si]
+            cpb = srow[jnp.clip(si - off, 0, nrep_sz - 1)]
 
         # --- 11. shared-plane filter (subpoly.py:524-533), on packed words -----
-        zs_ab = zs[cpa] & zs[cpb]
-        go_a = go[cpa]
-        go_b = go[cpb]
+        with jax.named_scope("s11_pairfilter"):
+            zs_ab = zs[cpa] & zs[cpb]
+            go_a = go[cpa]
+            go_b = go[cpb]
         shared = jax.lax.population_count(zs_ab).astype(jnp.int32)
         both_zero = (go_a >> 27) & (go_b >> 27)                  # 3-bit mask
         for dax in range(D):
@@ -922,9 +932,10 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # (also pre-filtered by the future-sign-key prune test, like the
         # right-edge appends in stage 7 — most raw connecting edges die in
         # the same step's prune, so filtering first keeps the pool small)
-        lo = jnp.where(keep_pair, jnp.minimum(va, vb), jnp.int32(VCAP))
-        hi = jnp.where(keep_pair, jnp.maximum(va, vb), jnp.int32(VCAP))
-        slo, shi = jax.lax.sort((lo, hi), num_keys=2)
+        with jax.named_scope("s12_conndedup"):
+            lo = jnp.where(keep_pair, jnp.minimum(va, vb), jnp.int32(VCAP))
+            hi = jnp.where(keep_pair, jnp.maximum(va, vb), jnp.int32(VCAP))
+            slo, shi = jax.lax.sort((lo, hi), num_keys=2)
         first = jnp.concatenate([
             jnp.ones(1, bool),
             (slo[1:] != slo[:-1]) | (shi[1:] != shi[:-1])])
@@ -1005,12 +1016,13 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # deferring it never changes the final mesh — only pool density.
         def _compact_edges(args):
             E, EB, LD, EZ0, EZ1 = args
-            lanes, val, _ = _compact_lanes(keep, ECAP)
-            E = jnp.where(val[:, None], E[lanes], 0)
-            EB = jnp.where(val[None, :], _gather_words(EB, lanes), 0)
-            LD = jnp.where(val, LD[lanes], -1)
-            EZ0 = jnp.where(val[None, :], _gather_words(EZ0, lanes), 0)
-            EZ1 = jnp.where(val[None, :], _gather_words(EZ1, lanes), 0)
+            with jax.named_scope("prune_compact"):
+                lanes, val, _ = _compact_lanes(keep, ECAP)
+                E = jnp.where(val[:, None], E[lanes], 0)
+                EB = jnp.where(val[None, :], _gather_words(EB, lanes), 0)
+                LD = jnp.where(val, LD[lanes], -1)
+                EZ0 = jnp.where(val[None, :], _gather_words(EZ0, lanes), 0)
+                EZ1 = jnp.where(val[None, :], _gather_words(EZ1, lanes), 0)
             return (E, EB, LD, EZ0, EZ1), val, n_keep
 
         def _mask_edges(args):
@@ -1421,12 +1433,13 @@ def _sdf_dist_grad(spec: NetSpec, params, world):
 _USE_LATTICE_ENC = os.environ.get("TROPICAL_LATTICE_ENC", "1") != "0"
 
 
-def _sdf_dist_grad_lattice(spec: NetSpec, params, xw, yw, zw):
+def _sdf_dist_grad_lattice(spec: NetSpec, params, xw, yw, zw, tables=None):
     """Lattice-forward variant of :func:`_sdf_dist_grad`: the three axis
     tangents ride jvp through :func:`net_outputs_lattice`, whose dense-level
     tangents are einsums against the weight-derivative matrices — no extra
     gathers (same vjp-SIGILL avoidance as the pointwise variant)."""
-    f = lambda a, b, c: net_outputs_lattice(spec, params, a, b, c)
+    f = lambda a, b, c: net_outputs_lattice(spec, params, a, b, c,
+                                            tables=tables)
     tangents = []
     out = None
     for d in range(3):
@@ -1516,6 +1529,12 @@ def _skel_slab(spec: NetSpec, params, marks, M: int, S: int, n_slabs: int,
     in distance mode, two [M,M,M] f32 planes for |sdf| and |grad|)."""
     SGN = jnp.zeros((M, M, M, R_COLS), jnp.int8)
 
+    # corner-value grids hoisted out of the slab loop (measured: XLA's LICM
+    # left the K^3 grid gather inside the fori_loop body — one full gather
+    # per slab instead of one per run)
+    tables = (lattice_tables(spec.grid, params["table"], M ** 3)
+              if _USE_LATTICE_ENC else None)
+
     if mode == "dist":
         DQ = jnp.zeros((M, M, M), jnp.float32)
         GR = jnp.zeros((M, M, M), jnp.float32)
@@ -1530,7 +1549,7 @@ def _skel_slab(spec: NetSpec, params, marks, M: int, S: int, n_slabs: int,
                     spec, params,
                     mk_x * (spec.scale * 2) - spec.scale,
                     marks * (spec.scale * 2) - spec.scale,
-                    marks * (spec.scale * 2) - spec.scale)
+                    marks * (spec.scale * 2) - spec.scale, tables=tables)
             else:
                 gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
                 pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
@@ -1557,7 +1576,7 @@ def _skel_slab(spec: NetSpec, params, marks, M: int, S: int, n_slabs: int,
                     spec, params,
                     mk_x * (spec.scale * 2) - spec.scale,
                     marks * (spec.scale * 2) - spec.scale,
-                    marks * (spec.scale * 2) - spec.scale)
+                    marks * (spec.scale * 2) - spec.scale, tables=tables)
             else:
                 gx, gy, gz = jnp.meshgrid(mk_x, marks, marks, indexing="ij")
                 pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
@@ -1969,12 +1988,11 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         n_v = int(nV)
         n_e = int(nE)
         vertices = np.asarray(V[:n_v])
-        edges = np.asarray(E[:n_e]).astype(np.int64)
 
         if verbose:
             # reference funnel line format (subpoly.py:71-84): A/B => C/D
             print(f"{int(nV_pre)}/{int(nE_pre)} => "
-                  f"{vertices.shape[0]}/{edges.shape[0]}", end=", ")
+                  f"{vertices.shape[0]}/{n_e}", end=", ")
 
         if n_v == 0:
             stats.record(int(nV_pre), int(nE_pre), 0, 0, 0)
@@ -1982,17 +2000,20 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                     np.empty((0, 3), np.int64))
 
         if tris is not None:
-            # faces were assembled on device: pull only the index triples
+            # faces were assembled on device: pull only vertices + index
+            # triples — the edge array is never consumed on this path, and
+            # its ~8 B/edge would ride a ~40 MB/s tunnel
             tri_idx = np.asarray(tris[:n_tris]).astype(np.int64)
             faces = vertices[tri_idx]
         else:
+            edges = np.asarray(E[:n_e]).astype(np.int64)
             outputs = np.asarray(OUT[:n_v])
             faces, tri_idx = extract_faces(vertices, edges, net, outputs,
                                            eps)
         if verbose:
             print(f"{len(faces)} faces", end=", ")
         stats.record(int(nV_pre), int(nE_pre), vertices.shape[0],
-                     edges.shape[0], len(faces))
+                     n_e, len(faces))
         return faces, vertices, tri_idx
 
     # --- steady-state fast path: skeleton + loop fused in ONE program ------
