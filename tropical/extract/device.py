@@ -1014,46 +1014,118 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # prune, epilogue) is aliveE-masked, appends go through the nE
         # cursor past any holes, and compaction is order-preserving, so
         # deferring it never changes the final mesh — only pool density.
-        def _compact_edges(args):
-            E, EB, LD, EZ0, EZ1 = args
-            with jax.named_scope("prune_compact"):
-                lanes, val, _ = _compact_lanes(keep, ECAP)
-                E = jnp.where(val[:, None], E[lanes], 0)
-                EB = jnp.where(val[None, :], _gather_words(EB, lanes), 0)
-                LD = jnp.where(val, LD[lanes], -1)
-                EZ0 = jnp.where(val[None, :], _gather_words(EZ0, lanes), 0)
-                EZ1 = jnp.where(val[None, :], _gather_words(EZ1, lanes), 0)
-            return (E, EB, LD, EZ0, EZ1), val, n_keep
+        # The gathers run on the smallest static pool prefix covering the
+        # nE cursor (live edges always occupy [0, nE)): mid-run occupancy is
+        # well below ECAP, and each dead tail lane still costs gather+sort.
+        def _compact_edges_at(T: int):
+            def go(args):
+                E, EB, LD, EZ0, EZ1 = args
+                with jax.named_scope("prune_compact"):
+                    kp = jax.lax.slice(keep, (0,), (T,))
+                    lanes, val, _ = _compact_lanes(kp, T)
+                    Et = jax.lax.slice(E, (0, 0), (T, 2))
+                    Ec = jnp.where(val[:, None], Et[lanes], 0)
+                    EBc = jnp.where(val[None, :], _gather_words(
+                        jax.lax.slice(EB, (0, 0), (NW, T)), lanes), 0)
+                    LDc = jnp.where(val, jax.lax.slice(LD, (0,), (T,))[lanes],
+                                    -1)
+                    EZ0c = jnp.where(val[None, :], _gather_words(
+                        jax.lax.slice(EZ0, (0, 0), (NW, T)), lanes), 0)
+                    EZ1c = jnp.where(val[None, :], _gather_words(
+                        jax.lax.slice(EZ1, (0, 0), (NW, T)), lanes), 0)
+                if T < ECAP:
+                    pe = ECAP - T
+                    Ec = jnp.concatenate(
+                        [Ec, jnp.zeros((pe, 2), Ec.dtype)])
+                    EBc = jnp.concatenate(
+                        [EBc, jnp.zeros((NW, pe), EBc.dtype)], axis=1)
+                    LDc = jnp.concatenate(
+                        [LDc, jnp.full((pe,), -1, LDc.dtype)])
+                    EZ0c = jnp.concatenate(
+                        [EZ0c, jnp.zeros((NW, pe), EZ0c.dtype)], axis=1)
+                    EZ1c = jnp.concatenate(
+                        [EZ1c, jnp.zeros((NW, pe), EZ1c.dtype)], axis=1)
+                    val = jnp.concatenate([val, jnp.zeros((pe,), bool)])
+                return (Ec, EBc, LDc, EZ0c, EZ1c), val, n_keep
+            return go
 
         def _mask_edges(args):
             return args, keep, nE
 
         do_compact = ((nE - n_keep) * 4 > n_keep) \
             | (nE + 2 * (CCAP + caps.conncap) > ECAP)
+        e_tiers = sorted({max(ECAP // 4, 65536), max(ECAP // 2, 65536), ECAP})
+        e_tiers = [t for t in e_tiers if t <= ECAP]
+
+        def _compact_tiered(args):
+            def pick(i, args):
+                T = e_tiers[i]
+                if i + 1 == len(e_tiers):
+                    return _compact_edges_at(T)(args)
+                return jax.lax.cond(nE <= T, _compact_edges_at(T),
+                                    lambda a: pick(i + 1, a), args)
+            return pick(0, args)
+
         (E, EB, LD, EZ0, EZ1), aliveE, nE = jax.lax.cond(
-            do_compact, _compact_edges, _mask_edges, (E, EB, LD, EZ0, EZ1))
+            do_compact, _compact_tiered, _mask_edges, (E, EB, LD, EZ0, EZ1))
         val = aliveE
 
-        def _compact_vertices(args):
-            V, OUT, E, SB, ZB, SZ, nV = args
-            used = jnp.zeros(VCAP, bool)
-            used = used.at[jnp.where(val, E[:, 0], VCAP)].set(
-                True, mode="drop")
-            used = used.at[jnp.where(val, E[:, 1], VCAP)].set(
-                True, mode="drop")
-            new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
-            vlanes, vval, n_used = _compact_lanes(used, VCAP)
-            V = jnp.where(vval[:, None], V[vlanes], 0)
-            OUT = jnp.where(vval[:, None], OUT[vlanes], 0)
-            SB = jnp.where(vval[None, :], _gather_words(SB, vlanes), 0)
-            ZB = jnp.where(vval[None, :], _gather_words(ZB, vlanes), 0)
-            SZ = jnp.where(vval[None, :], _gather_words(SZ, vlanes), 0)
-            E = jnp.where(val[:, None], new_index[E], 0)
-            return V, OUT, E, SB, ZB, SZ, n_used
+        def _compact_vertices_at(T: int):
+            # same prefix-tier trick: live vertex ids are < nV <= T, so the
+            # row gathers (OUT is [*, 36] — the widest array the engine
+            # owns) run on the covering prefix; the used/new_index passes
+            # stay pool-wide (streaming scatter+cumsum, bandwidth-cheap, and
+            # E's renumber gather indexes dead lanes up to VCAP)
+            def go(args):
+                V, OUT, E, SB, ZB, SZ, nV = args
+                used = jnp.zeros(VCAP, bool)
+                used = used.at[jnp.where(val, E[:, 0], VCAP)].set(
+                    True, mode="drop")
+                used = used.at[jnp.where(val, E[:, 1], VCAP)].set(
+                    True, mode="drop")
+                new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
+                vlanes, vval, n_used = _compact_lanes(
+                    jax.lax.slice(used, (0,), (T,)), T)
+                Vc = jnp.where(vval[:, None],
+                               jax.lax.slice(V, (0, 0), (T, 3))[vlanes], 0)
+                OUTc = jnp.where(
+                    vval[:, None],
+                    jax.lax.slice(OUT, (0, 0), (T, R_COLS))[vlanes], 0)
+                SBc = jnp.where(vval[None, :], _gather_words(
+                    jax.lax.slice(SB, (0, 0), (NW, T)), vlanes), 0)
+                ZBc = jnp.where(vval[None, :], _gather_words(
+                    jax.lax.slice(ZB, (0, 0), (NW, T)), vlanes), 0)
+                SZc = jnp.where(vval[None, :], _gather_words(
+                    jax.lax.slice(SZ, (0, 0), (NW, T)), vlanes), 0)
+                if T < VCAP:
+                    pv = VCAP - T
+                    Vc = jnp.concatenate([Vc, jnp.zeros((pv, 3), Vc.dtype)])
+                    OUTc = jnp.concatenate(
+                        [OUTc, jnp.zeros((pv, R_COLS), OUTc.dtype)])
+                    wz = jnp.zeros((NW, pv), jnp.uint32)
+                    SBc = jnp.concatenate([SBc, wz], axis=1)
+                    ZBc = jnp.concatenate([ZBc, wz], axis=1)
+                    SZc = jnp.concatenate([SZc, wz], axis=1)
+                E2 = jnp.where(val[:, None], new_index[E], 0)
+                return Vc, OUTc, E2, SBc, ZBc, SZc, n_used
+            return go
+
+        v_tiers = sorted({max(VCAP // 4, 65536), max(VCAP // 2, 65536),
+                          VCAP})
+        v_tiers = [t for t in v_tiers if t <= VCAP]
+
+        def _compact_v_tiered(args):
+            def pick(i, args):
+                T = v_tiers[i]
+                if i + 1 == len(v_tiers):
+                    return _compact_vertices_at(T)(args)
+                return jax.lax.cond(nV <= T, _compact_vertices_at(T),
+                                    lambda a: pick(i + 1, a), args)
+            return pick(0, args)
 
         V, OUT, E, SB, ZB, SZ, nV = jax.lax.cond(
             (idx % 8 == 7) | (nV + 2 * CCAP > VCAP),
-            _compact_vertices, lambda args: args,
+            _compact_v_tiered, lambda args: args,
             (V, OUT, E, SB, ZB, SZ, nV))
 
         return State(V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw,
@@ -1067,13 +1139,21 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                     stop_before_final: bool = False, lut_k: int = 4,
                     with_skeleton: bool = False, marks_len: int | None = None,
                     with_faces: bool = False, skel_mode: str = "sign",
-                    dist_k: int = 0):
+                    dist_k: int = 0, init_hint: tuple | None = None):
     """One jitted program: 32 hidden insertions + the final-layer insertion +
     the |sdf|<eps skeleton filter (reference subpoly.py:60-74,556-581).
 
     ``stop_before_final`` is a debug knob: return the raw padded state after
     the hidden insertions (V, OUT, E, aliveE-compacted edges) for cross-engine
-    divergence hunting."""
+    divergence hunting.
+
+    ``init_hint=(SV, SE)`` bounds the initial skeleton's vertex/edge counts
+    (the skeleton's own caps): the one-time word pack then runs on those
+    static pool prefixes instead of full VCAP/ECAP width — at M=201 the edge
+    pool is ~2.6x the skeleton cap, and the pack's 12 pool-wide gathers +
+    33-column bit scans were ~13%% of the whole run.  Counts above the hint
+    flag OVF_V/OVF_E (the ramp retries without a hint), so a stale hint can
+    only cost a retry, never correctness."""
     step, _ = make_step_fn(spec, caps, eps, disable, force, lut_k)
     VCAP, ECAP = caps.vcap, caps.ecap
     KCAP, WCAP = caps.kcap, caps.wcap
@@ -1092,21 +1172,61 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                         + [jnp.int32(0)] * 7)
         # one-time pack of the skeleton's static sign/zero words and the
         # per-edge split words / last-differ columns (the loop maintains
-        # them incrementally at every vertex/edge creation site)
-        SB0, ZB0, SZ0 = _pack_out_words(OUT0, eps)
-        se0 = jnp.where(aliveE0, E0[:, 0], 0)
-        se1 = jnp.where(aliveE0, E0[:, 1], 0)
+        # them incrementally at every vertex/edge creation site).  With an
+        # init_hint the pack runs on the skeleton-cap prefix and pads: rows
+        # past the prefix are exactly what full-width packing of the
+        # zero-padded pools produced (all-zero V/OUT rows pack to the
+        # fixed zero-row words; dead edge lanes to EB=0/LD=-1/EZ=0).
+        SVh = min(init_hint[0], VCAP) if init_hint else VCAP
+        SEh = min(init_hint[1], ECAP) if init_hint else ECAP
+        ovf0 = ovf0 | jnp.where(nV0 > SVh, OVF_V, 0) \
+            | jnp.where(nE0 > SEh, OVF_E, 0)
+
+        def _padv(w, fill):
+            if SVh == VCAP:
+                return w
+            tail = jnp.full((NW, VCAP - SVh), fill, w.dtype)
+            return jnp.concatenate([w, tail], axis=1)
+
+        SB0, ZB0, SZ0 = _pack_out_words(
+            jax.lax.slice(OUT0, (0, 0), (SVh, R_COLS)), eps)
+        # a zero OUT row packs to sb=0 and zb=sz=<all R_COLS bits set>
+        # (|0| <= eps): replicate for the padded tail bit-for-bit
+        zfill = [jnp.uint32((1 << (min(32 * w + 32, R_COLS) - 32 * w)) - 1)
+                 for w in range(NW)]
+        SB0 = _padv(SB0, jnp.uint32(0))
+        if SVh < VCAP:
+            ztail = jnp.stack([jnp.full((VCAP - SVh,), zfill[w], jnp.uint32)
+                               for w in range(NW)])
+            ZB0 = jnp.concatenate([ZB0, ztail], axis=1)
+            SZ0 = jnp.concatenate([SZ0, ztail], axis=1)
+
+        aliveE_h = jax.lax.slice(aliveE0, (0,), (SEh,))
+        E0h = jax.lax.slice(E0, (0, 0), (SEh, 2))
+        se0 = jnp.where(aliveE_h, E0h[:, 0], 0)
+        se1 = jnp.where(aliveE_h, E0h[:, 1], 0)
         eb0, ld0 = _edge_bits(
             _gather_words(SB0, se0), _gather_words(ZB0, se0),
             _gather_words(SB0, se1), _gather_words(ZB0, se1))
+
+        def _pade(w, fill):
+            if SEh == ECAP:
+                return w
+            shape = ((NW, ECAP - SEh) if w.ndim == 2 else (ECAP - SEh,))
+            return jnp.concatenate(
+                [w, jnp.full(shape, fill, w.dtype)], axis=w.ndim - 1)
+
         state = State(V0, OUT0, E0, aliveV0, aliveE0, nV0, nE0,
                       ovf0, hw0, SB0, ZB0, SZ0,
-                      jnp.where(aliveE0[None, :], eb0, 0),
-                      jnp.where(aliveE0, ld0, -1),
-                      jnp.where(aliveE0[None, :],
-                                _gather_words(SZ0, se0), 0),
-                      jnp.where(aliveE0[None, :],
-                                _gather_words(SZ0, se1), 0))
+                      _pade(jnp.where(aliveE_h[None, :], eb0, 0),
+                            jnp.uint32(0)),
+                      _pade(jnp.where(aliveE_h, ld0, -1), jnp.int32(-1)),
+                      _pade(jnp.where(aliveE_h[None, :],
+                                      _gather_words(SZ0, se0), 0),
+                            jnp.uint32(0)),
+                      _pade(jnp.where(aliveE_h[None, :],
+                                      _gather_words(SZ0, se1), 0),
+                            jnp.uint32(0)))
 
         lut = jnp.searchsorted(
             marks, jnp.arange(LUTN, dtype=marks.dtype) / LUTN
@@ -1271,15 +1391,28 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         tblk = jnp.where(kval[:, None], tbl_s[klanes], -1)
         cntk = jnp.where(kval, cnt_s[klanes], 0)
 
-        # mean point + sdf normal per region (subpoly.py:627-635)
+        # mean point + sdf normal per region (subpoly.py:627-635); the
+        # normal rides three shared-primal jvps (same vjp-SIGILL avoidance
+        # and cost argument as _sdf_dist_grad: the primal's table gathers
+        # are CSE'd once, the tangents are arithmetic-only) — sdf = tanh of
+        # the last column, so grad = (1 - sdf^2) * dcol/dq
         safe_tbl = jnp.maximum(tblk, 0)
         pts = Vf[safe_tbl] * (tblk != -1)[..., None]       # [RGC, G, 3]
         kdiv = jnp.maximum(cntk, 1)[:, None].astype(jnp.float32)
         means = pts.sum(1) / kdiv
-        normals = jax.grad(
-            lambda q: net_sdf(spec, params, q).sum())(means)
+        fm = lambda w: net_outputs(spec, params, w)
+        tangs = []
+        out_m = None
+        for dax in range(3):
+            em = jnp.zeros_like(means).at[:, dax].set(1.0)
+            out_m, tm = jax.jvp(fm, (means,), (em,))
+            tangs.append(tm[:, -1])
+        sd_m = jnp.tanh(out_m[:, -1])
+        normals = jnp.stack(tangs, -1) * (1.0 - sd_m * sd_m)[:, None]
 
-        # angular sort (geometry.py:483-514 scores, stable descending)
+        # angular sort (geometry.py:483-514 scores, stable descending);
+        # sort the vid rows directly alongside the score key — an argsort +
+        # take_along_axis pair lowers as an extra [RGC, G] gather
         u = pts - (pts.sum(-2, keepdims=True) / kdiv[..., None])
         dcr = jnp.cross(jnp.broadcast_to(u[:, :1], u.shape), u)
         nrm = jnp.linalg.norm(u, axis=-1)
@@ -1287,8 +1420,8 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         cosb = (u[:, :1] * u).sum(-1) / denom
         dn = (dcr @ normals[..., None])[..., 0]
         score = cosb * ((dn >= 0) * 2.0 - 1.0) + (dn < 0) * 2.0
-        order = jnp.argsort(-score, axis=-1, stable=True)
-        rows_sorted = jnp.take_along_axis(tblk, order, axis=1)
+        _, rows_sorted = jax.lax.sort((-score, tblk), dimension=-1,
+                                      num_keys=1, is_stable=True)
 
         # duplicate-vid removal keeping the first occurrence in angle order,
         # then left-compaction (tensor_to_triangle_faces, subpoly.py:700-728).
@@ -1308,8 +1441,8 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         valid3 = (rows_sorted != -1) & (dup_back == 0)
         rank3 = jnp.cumsum(valid3.astype(jnp.int32), axis=1) - 1
         rkey = jnp.where(valid3, rank3, G)
-        packed = jnp.take_along_axis(
-            rows_sorted, jnp.argsort(rkey, axis=1, stable=True), axis=1)
+        _, packed = jax.lax.sort((rkey, rows_sorted), dimension=-1,
+                                 num_keys=1, is_stable=True)
         cnt2 = valid3.sum(1).astype(jnp.int32)
         ntri = jnp.clip(cnt2 - 2, 0, None)
 
@@ -2016,14 +2149,26 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                      n_e, len(faces))
         return faces, vertices, tri_idx
 
+    # the skeleton's own (SV, SE) caps double as the initial-pack prefix
+    # hint for the fused program (the skeleton is deterministic per
+    # checkpoint, so a persisted bound from any earlier run is a true
+    # bound; a stale one flags OVF and falls back to the ramp)
+    skel_key = (net.spec, M, eps, mode, dg)
+    skel_tok = _caps_token(net.spec, f"{mtag}-e{eps}-n{dg}-skel")
+    skel_tok_legacy = _caps_token(net.spec, f"{mtag}-e{eps}-skel")
+    skel_caps = (_SKEL_CAPS.get(skel_key)
+                 or _PERSISTED["skel"].get(skel_tok)
+                 or _PERSISTED["skel"].get(skel_tok_legacy))
+
     # --- steady-state fast path: skeleton + loop fused in ONE program ------
     # (caps already known from a previous run or the persisted cache: one
     # dispatch, no skeleton/pool round trips)
     if caps is not None:
         import dataclasses
 
+        hint = tuple(skel_caps) if skel_caps else None
         for _fa in range(3):
-            fkey = (net.spec, caps, eps, force, lut_k, M, mode, "fused")
+            fkey = (net.spec, caps, eps, force, lut_k, M, mode, hint, "fused")
             if fkey in _FUSED_BROKEN:
                 ovf, nE_pre = -1, -1
                 break
@@ -2031,7 +2176,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 _EXTRACT_CACHE[fkey] = make_extract_fn(
                     net.spec, caps, eps, force=force, lut_k=lut_k,
                     with_skeleton=True, marks_len=M, with_faces=True,
-                    skel_mode=mode, dist_k=dist_k)
+                    skel_mode=mode, dist_k=dist_k, init_hint=hint)
             try:
                 V, OUT, E, tris, meta = _EXTRACT_CACHE[fkey](
                     net.params, net.marks)
@@ -2083,13 +2228,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     # (decoupled from the loop caps so no host round-trip of the lattice is
     # ever needed — the chunked host skeleton pulls ~130 MB/([M/128]^3 chunk)
     # through a ~40 MB/s tunnel)
-    skel_key = (net.spec, M, eps, mode, dg)
-    skel_tok = _caps_token(net.spec, f"{mtag}-e{eps}-n{dg}-skel")
-    skel_tok_legacy = _caps_token(net.spec, f"{mtag}-e{eps}-skel")
-    skel_caps = (_SKEL_CAPS.get(skel_key)
-                 or _PERSISTED["skel"].get(skel_tok)
-                 or _PERSISTED["skel"].get(skel_tok_legacy)
-                 or default_skel_caps(M, mode))
+    skel_caps = skel_caps or default_skel_caps(M, mode)
     for _ in range(5):
         kkey = ("skel", net.spec, skel_caps, M, eps, mode)
         if kkey not in _EXTRACT_CACHE:
@@ -2139,10 +2278,12 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 (_fit(v, vc), _fit(o, vc), _fit(e, ec)))
         Vp, Op, Ep = _EXTRACT_CACHE[pkey](Vs, Os, Es)
 
-        key = (net.spec, caps, eps, force, lut_k)
+        ramp_hint = (int(Vs.shape[0]), int(Es.shape[0]))
+        key = (net.spec, caps, eps, force, lut_k, ramp_hint)
         if key not in _EXTRACT_CACHE:
             _EXTRACT_CACHE[key] = make_extract_fn(net.spec, caps, eps,
-                                                  force=force, lut_k=lut_k)
+                                                  force=force, lut_k=lut_k,
+                                                  init_hint=ramp_hint)
         extract = _EXTRACT_CACHE[key]
 
         V, OUT, E, _tris0, meta = extract(
