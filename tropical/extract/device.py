@@ -1264,18 +1264,28 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
             & (xu <= 1).all(-1) & (xu >= 0).all(-1)
         e_keep = aliveE & keep_v[E[:, 0]] & keep_v[E[:, 1]]
 
-        # final vertex set: only vertices used by surviving edges
+        # final vertex set: only vertices used by surviving edges.  In faces
+        # mode the survivors compact straight into the FVC-wide buffer the
+        # faces stage consumes (counts above FVC flag OVF_F and the result
+        # is discarded), and the edge compaction is skipped outright — its
+        # output is never consumed when triangles are assembled on device,
+        # only the surviving-edge COUNT feeds the funnel line.
         used = jnp.zeros(VCAP, bool)
         used = used.at[jnp.where(e_keep, E[:, 0], VCAP)].set(True, mode="drop")
         used = used.at[jnp.where(e_keep, E[:, 1], VCAP)].set(True, mode="drop")
         new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
 
-        vlanes, vval, n_used = _compact_lanes(used, VCAP)
+        vlanes, vval, n_used = _compact_lanes(used, FVC if with_faces
+                                              else VCAP)
         V = jnp.where(vval[:, None], V[vlanes], 0)
         OUT = jnp.where(vval[:, None], OUT[vlanes], 0)
 
-        elanes, eval_, n_ekeep = _compact_lanes(e_keep, ECAP)
-        E = jnp.where(eval_[:, None], new_index[E[elanes]], 0)
+        if with_faces:
+            n_ekeep = e_keep.sum().astype(jnp.int32)
+            E = jnp.zeros((0, 2), jnp.int32)
+        else:
+            elanes, eval_, n_ekeep = _compact_lanes(e_keep, ECAP)
+            E = jnp.where(eval_[:, None], new_index[E[elanes]], 0)
 
         # funnel "B" counts LIVE edges (deferred prune compaction can leave
         # the nE cursor past dead holes)
@@ -1305,8 +1315,8 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
 
         fvalid = jnp.arange(FVC, dtype=jnp.int32) < n_used
         ovf = ovf | jnp.where(n_used > FVC, OVF_F, 0)
-        Vf = jax.lax.slice(V, (0, 0), (FVC, 3))
-        OUTf = jax.lax.slice(OUT, (0, 0), (FVC, R_COLS))
+        Vf = V          # compacted straight into the FVC-wide buffer above
+        OUTf = OUT
 
         xu2 = preprocess(spec, Vf)
         g_mask, g_off = _grid_region_lut(marks, lut, xu2, eps, lut_k)
@@ -1401,12 +1411,11 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         kdiv = jnp.maximum(cntk, 1)[:, None].astype(jnp.float32)
         means = pts.sum(1) / kdiv
         fm = lambda w: net_outputs(spec, params, w)
+        out_m, fm_lin = jax.linearize(fm, means)
         tangs = []
-        out_m = None
         for dax in range(3):
             em = jnp.zeros_like(means).at[:, dax].set(1.0)
-            out_m, tm = jax.jvp(fm, (means,), (em,))
-            tangs.append(tm[:, -1])
+            tangs.append(fm_lin(em)[:, -1])
         sd_m = jnp.tanh(out_m[:, -1])
         normals = jnp.stack(tangs, -1) * (1.0 - sd_m * sd_m)[:, None]
 
@@ -1548,12 +1557,15 @@ def _sdf_dist_grad(spec: NetSpec, params, world):
     measured on v5e libtpu 2026-08-17 — standalone vjp compiles fine, vjp +
     reduce does not), and the tangent passes of this small MLP are cheap."""
     f = lambda w: net_outputs(spec, params, w)
+    # linearize, not three jvp calls: each jax.jvp re-traces the primal and
+    # XLA does NOT CSE the duplicated encode gathers across them (measured:
+    # 3x the gather fusions at M=201); linearize evaluates the primal once
+    # and the three tangent calls reuse its residuals
+    out, f_lin = jax.linearize(f, world)
     tangents = []
-    out = None
     for d in range(3):
         e = jnp.zeros_like(world).at[:, d].set(1.0)
-        out, t = jax.jvp(f, (world,), (e,))
-        tangents.append(t[:, -1])
+        tangents.append(f_lin(e)[:, -1])
     gl = jnp.stack(tangents, axis=-1)
     sd = jnp.tanh(out[:, -1])
     gn = jnp.linalg.norm(gl, axis=-1) * (1.0 - sd * sd)
@@ -1573,13 +1585,14 @@ def _sdf_dist_grad_lattice(spec: NetSpec, params, xw, yw, zw, tables=None):
     gathers (same vjp-SIGILL avoidance as the pointwise variant)."""
     f = lambda a, b, c: net_outputs_lattice(spec, params, a, b, c,
                                             tables=tables)
+    # linearize for the same no-CSE reason as _sdf_dist_grad: one primal,
+    # three residual-reusing tangent calls
+    out, f_lin = jax.linearize(f, xw, yw, zw)
     tangents = []
-    out = None
     for d in range(3):
         t3 = [jnp.zeros_like(xw), jnp.zeros_like(yw), jnp.zeros_like(zw)]
         t3[d] = jnp.ones_like(t3[d])
-        out, t = jax.jvp(f, (xw, yw, zw), tuple(t3))
-        tangents.append(t[:, -1])
+        tangents.append(f_lin(*t3)[:, -1])
     gl = jnp.stack(tangents, axis=-1)
     sd = jnp.tanh(out[:, -1])
     gn = jnp.linalg.norm(gl, axis=-1) * (1.0 - sd * sd)
