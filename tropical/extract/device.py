@@ -1291,12 +1291,17 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         # the nE cursor past dead holes)
         nE_live = aliveE.sum().astype(jnp.int32)
 
+        # the skeleton's true initial counts ride at the meta tail so the
+        # host can memoize TIGHT skeleton caps (the ramped ones are doubled
+        # past need, and they size the init word pack + skeleton sorts)
+        skel_counts = jnp.stack([nV0, nE0])
+
         if not with_faces:
             # all control scalars in ONE vector: each separate int() pull
             # costs a ~25 ms tunnel round trip
             meta = jnp.concatenate([
                 jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE_live,
-                           jnp.int32(0)]), hw])
+                           jnp.int32(0)]), hw, skel_counts])
             return V, OUT, E, jnp.zeros((0, 3), jnp.int32), meta
 
         # ---- faces stage, fused on device (reference subpoly.py:584-652,
@@ -1472,14 +1477,28 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         va_ = packed[sit, 0]
         vb_ = packed[sit, jnp.clip(ot + 1, 0, G - 1)]
         vc_ = packed[sit, jnp.clip(ot + 2, 0, G - 1)]
-        tris = jnp.where(t_valid[:, None],
-                         jnp.stack([vc_, vb_, va_], axis=-1), 0)
+        if (FVC - 1).bit_length() <= 18:
+            # pack each (a, b, c) triangle into 2 u32 words (vids are
+            # < FVC <= 2^18): the index pull is the largest d2h transfer of
+            # a run and the tunnel moves ~40 MB/s — 8 B/tri instead of 12.
+            # The host detects the u32[:, 2] shape and unpacks exactly.
+            a_ = vc_.astype(jnp.uint32)
+            b_ = vb_.astype(jnp.uint32)
+            c_ = va_.astype(jnp.uint32)
+            p0 = a_ | (b_ << 18)
+            p1 = (b_ >> 14) | (c_ << 4)
+            tris = jnp.where(t_valid[:, None],
+                             jnp.stack([p0, p1], axis=-1), 0)
+        else:
+            tris = jnp.where(t_valid[:, None],
+                             jnp.stack([vc_, vb_, va_], axis=-1), 0)
 
         hwf = jnp.stack([jnp.int32(0)] * 7
                         + [n_used, n_fb, n_rg, total_t, jnp.int32(0), gmax])
         hw = jnp.maximum(hw, hwf)
         meta = jnp.concatenate([
-            jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE_live, total_t]), hw])
+            jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE_live, total_t]), hw,
+            skel_counts])
         return V, OUT, E, tris, meta
 
     if not with_skeleton:
@@ -2130,6 +2149,25 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             _persist_caps()
         _evict_stale_programs()
 
+    def _memoize_skel_tight(nv0: int, ne0: int):
+        # tight skeleton caps from the run's true initial counts: the
+        # ramped caps are doubled past need and they size the standalone
+        # skeleton program AND the fused program's init word pack.  Same
+        # hysteresis rationale as _memoize_tight (every change is a new
+        # fused-program key, i.e. a full XLA recompile).
+        want = (_round_up(int(nv0 * 1.1) + 1024, 8192),
+                _round_up(int(ne0 * 1.1) + 1024, 8192))
+        cur = (_SKEL_CAPS.get(skel_key)
+               or _PERSISTED["skel"].get(skel_tok))
+        if cur is not None and all(
+                w <= c <= max(int(w * 1.25), w + 16384)
+                for c, w in zip(cur, want)):
+            want = tuple(cur)
+        _SKEL_CAPS[skel_key] = want
+        if _PERSISTED["skel"].get(skel_tok) != want:
+            _PERSISTED["skel"][skel_tok] = want
+            _persist_caps()
+
     def _finish(V, OUT, E, nV, nE, nV_pre, nE_pre, tris=None, n_tris=0):
         n_v = int(nV)
         n_e = int(nE)
@@ -2149,7 +2187,16 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             # faces were assembled on device: pull only vertices + index
             # triples — the edge array is never consumed on this path, and
             # its ~8 B/edge would ride a ~40 MB/s tunnel
-            tri_idx = np.asarray(tris[:n_tris]).astype(np.int64)
+            raw = np.asarray(tris[:n_tris])
+            if raw.dtype == np.uint32 and raw.ndim == 2 and \
+                    raw.shape[-1] == 2:
+                # 2-word packed triangles (18-bit vids) from the device
+                a = raw[:, 0] & 0x3FFFF
+                b = (raw[:, 0] >> 18) | ((raw[:, 1] & 0xF) << 14)
+                c = raw[:, 1] >> 4
+                tri_idx = np.stack([a, b, c], axis=1).astype(np.int64)
+            else:
+                tri_idx = raw.astype(np.int64)
             faces = vertices[tri_idx]
         else:
             edges = np.asarray(E[:n_e]).astype(np.int64)
@@ -2205,13 +2252,16 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 break
             m = np.asarray(meta)
             nV, nE, ovf, nV_pre, nE_pre, n_tris = (int(x) for x in m[:6])
-            hw = m[6:]
+            hw = m[6:19]
+            sk = (int(m[19]), int(m[20])) if m.size >= 21 else None
             if ovf & OVF_X:
                 raise RuntimeError(
                     "curved split edge lies on no earlier plane (reference "
                     "invariant subpoly.py:141-148); extraction aborted")
             if ovf == 0 and nE_pre > 0:
                 _memoize_tight(hw, caps, nV)
+                if sk is not None and min(sk) > 0:
+                    _memoize_skel_tight(*sk)
                 return _finish(V, OUT, E, nV, nE, nV_pre, nE_pre,
                                tris=tris, n_tris=n_tris)
             if ovf != 0 and ovf & ~(OVF_F | OVF_G) == 0:
@@ -2260,12 +2310,15 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             print(f"[device-skeleton] overflow {ovf_s}; retry {skel_caps}")
     else:
         raise RuntimeError(f"skeleton exceeded caps after retries: {skel_caps}")
-    _SKEL_CAPS[skel_key] = skel_caps
-    if _PERSISTED["skel"].get(skel_tok) != skel_caps:
-        _PERSISTED["skel"][skel_tok] = skel_caps
-        _persist_caps()
     nV0 = np.int32(nV0)
     nE0 = np.int32(nE0)
+    if int(nE0) > 0:
+        _memoize_skel_tight(int(nV0), int(nE0))
+    else:
+        _SKEL_CAPS[skel_key] = skel_caps
+        if _PERSISTED["skel"].get(skel_tok) != skel_caps:
+            _PERSISTED["skel"][skel_tok] = skel_caps
+            _persist_caps()
 
     if int(nE0) == 0:  # degenerate net: hypercube fallback (subpoly.py:51-52)
         V0, E0, _ = get_hypercube(d, size)
@@ -2303,7 +2356,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             net.params, net.marks, Vp, Op, Ep, nV0, nE0)
         m = np.asarray(meta)
         nV, nE, ovf, nV_pre, nE_pre, _ = (int(x) for x in m[:6])
-        hw = m[6:]
+        hw = m[6:19]
         ovf = ovf | ovf_s
         if ovf & OVF_X:
             # invariant violation, not a capacity problem: a curved split
