@@ -1690,9 +1690,17 @@ def _skel_single_block(spec: NetSpec, params, marks, M: int, eps: float,
 
 def _skel_slab(spec: NetSpec, params, marks, M: int, S: int, n_slabs: int,
                eps: float, mode: str, dist_k: int, SV: int, SE: int):
-    """Slab-chunked skeleton body: stores only the int8 sign lattice (plus,
-    in distance mode, two [M,M,M] f32 planes for |sdf| and |grad|)."""
+    """Slab-chunked skeleton body: stores the int8 sign lattice (plus, in
+    distance mode, two [M,M,M] f32 planes for |sdf| and |grad|) and — when
+    it fits comfortably in HBM — the full f32 output lattice, so the
+    squeeze stage gathers surviving vertices' OUT rows instead of paying a
+    second pointwise forward over them (~140 ms at M=201)."""
     SGN = jnp.zeros((M, M, M, R_COLS), jnp.int8)
+    # 1.07 GB at M=201; transient (dead after squeeze).  Past ~4 GB fall
+    # back to the recompute path.
+    keep_out = M ** 3 * R_COLS * 4 <= 4 * 2 ** 30
+    OUTL = (jnp.zeros((M * M * M, R_COLS), jnp.float32)
+            if keep_out else None)
 
     # corner-value grids hoisted out of the slab loop (measured: XLA's LICM
     # left the K^3 grid gather inside the fori_loop body — one full gather
@@ -1705,7 +1713,7 @@ def _skel_slab(spec: NetSpec, params, marks, M: int, S: int, n_slabs: int,
         GR = jnp.zeros((M, M, M), jnp.float32)
 
         def body(si, carry):
-            SGN, DQ, GR = carry
+            SGN, OUTL, DQ, GR = carry
             x0 = jnp.minimum(si * S, M - S)
             xs = x0 + jnp.arange(S, dtype=jnp.int32)
             mk_x = jnp.take(marks, xs, axis=0, mode="clip")
@@ -1723,16 +1731,21 @@ def _skel_slab(spec: NetSpec, params, marks, M: int, S: int, n_slabs: int,
             sg = _eps_sign(out, eps).astype(jnp.int8).reshape(
                 S, M, M, R_COLS)
             SGN = jax.lax.dynamic_update_slice(SGN, sg, (x0, 0, 0, 0))
+            if OUTL is not None:
+                OUTL = jax.lax.dynamic_update_slice(
+                    OUTL, out.reshape(S * M * M, R_COLS), (x0 * M * M, 0))
             DQ = jax.lax.dynamic_update_slice(
                 DQ, dq.reshape(S, M, M), (x0, 0, 0))
             GR = jax.lax.dynamic_update_slice(
                 GR, gn.reshape(S, M, M), (x0, 0, 0))
-            return SGN, DQ, GR
+            return SGN, OUTL, DQ, GR
 
-        SGN, DQ, GR = jax.lax.fori_loop(0, n_slabs, body, (SGN, DQ, GR))
+        SGN, OUTL, DQ, GR = jax.lax.fori_loop(
+            0, n_slabs, body, (SGN, OUTL, DQ, GR))
         keepv = _lipschitz_keepv(DQ, GR, marks, dist_k)
     else:
-        def body(si, SGN):
+        def body(si, carry):
+            SGN, OUTL = carry
             x0 = jnp.minimum(si * S, M - S)
             xs = x0 + jnp.arange(S, dtype=jnp.int32)
             mk_x = jnp.take(marks, xs, axis=0, mode="clip")
@@ -1749,14 +1762,18 @@ def _skel_slab(spec: NetSpec, params, marks, M: int, S: int, n_slabs: int,
                 o = net_outputs(spec, params, world)
             sg = _eps_sign(o, eps).astype(jnp.int8).reshape(
                 S, M, M, R_COLS)
-            return jax.lax.dynamic_update_slice(SGN, sg, (x0, 0, 0, 0))
+            SGN = jax.lax.dynamic_update_slice(SGN, sg, (x0, 0, 0, 0))
+            if OUTL is not None:
+                OUTL = jax.lax.dynamic_update_slice(
+                    OUTL, o.reshape(S * M * M, R_COLS), (x0 * M * M, 0))
+            return SGN, OUTL
 
-        SGN = jax.lax.fori_loop(0, n_slabs, body, SGN)
+        SGN, OUTL = jax.lax.fori_loop(0, n_slabs, body, (SGN, OUTL))
         keepv = None
 
     mask, ea, eb = _edges_from_sgn(SGN, M, keepv)
     return _squeeze_edges(spec, mask, ea, eb, M, SV, SE,
-                          params=params, marks=marks)
+                          lattice_out=OUTL, params=params, marks=marks)
 
 
 def _squeeze_edges(spec, mask, ea, eb, M: int, SV: int, SE: int,
