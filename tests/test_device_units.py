@@ -75,3 +75,29 @@ def test_expand4_matches_general_expansion(seed):
     live = k1a < 2 ** 30
     np.testing.assert_array_equal(k2a[live], k2b[live])
     np.testing.assert_array_equal(k3a[live], k3b[live])
+
+
+def test_tri_word_pack_roundtrip():
+    """2-word packed triangle indices unpack exactly for every 18-bit
+    corner case (the mesh index pull rides this packing)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tropical.extract.device import _pack_tri_words, _unpack_tri_words
+
+    lim = (1 << 18) - 1
+    rng = np.random.default_rng(0)
+    tri = np.concatenate([
+        np.array([[0, 0, 0], [lim, lim, lim], [0, lim, 0], [lim, 0, lim],
+                  [1, (1 << 14) - 1, 1 << 14], [(1 << 14), 1 << 17, 3]],
+                 np.int64),
+        rng.integers(0, lim + 1, size=(1000, 3)),
+    ])
+    p0, p1 = _pack_tri_words(jnp.asarray(tri[:, 0]), jnp.asarray(tri[:, 1]),
+                             jnp.asarray(tri[:, 2]))
+    raw = np.stack([np.asarray(p0), np.asarray(p1)], axis=1)
+    assert raw.dtype == np.uint32
+    np.testing.assert_array_equal(_unpack_tri_words(raw), tri)

@@ -197,6 +197,26 @@ def _gather_words(W2, idx):
     return jnp.stack([W2[w][idx] for w in range(NW)])
 
 
+def _pack_tri_words(a, b, c):
+    """Pack an (a, b, c) triangle of 18-bit vertex ids into 2 u32 words.
+
+    The index pull is the largest d2h transfer of a run and the dev tunnel
+    moves ~40 MB/s: 8 B/tri instead of 12.  Layout: w0 = a | b<<18 (low 14
+    bits of b), w1 = b>>14 | c<<4."""
+    a = a.astype(jnp.uint32)
+    b = b.astype(jnp.uint32)
+    c = c.astype(jnp.uint32)
+    return a | (b << 18), (b >> 14) | (c << 4)
+
+
+def _unpack_tri_words(raw: np.ndarray) -> np.ndarray:
+    """Host-side exact inverse of :func:`_pack_tri_words` -> [N, 3] i64."""
+    a = raw[:, 0] & 0x3FFFF
+    b = (raw[:, 0] >> 18) | ((raw[:, 1] & 0xF) << 14)
+    c = raw[:, 1] >> 4
+    return np.stack([a, b, c], axis=1).astype(np.int64)
+
+
 def _grid_region(marks, xu, eps):
     """({0,1} mask, cell offset) per axis (reference tropical.py:227-236)."""
     off = jnp.searchsorted(marks, xu + eps).astype(jnp.int32) - 1
@@ -1478,15 +1498,9 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         vb_ = packed[sit, jnp.clip(ot + 1, 0, G - 1)]
         vc_ = packed[sit, jnp.clip(ot + 2, 0, G - 1)]
         if (FVC - 1).bit_length() <= 18:
-            # pack each (a, b, c) triangle into 2 u32 words (vids are
-            # < FVC <= 2^18): the index pull is the largest d2h transfer of
-            # a run and the tunnel moves ~40 MB/s — 8 B/tri instead of 12.
-            # The host detects the u32[:, 2] shape and unpacks exactly.
-            a_ = vc_.astype(jnp.uint32)
-            b_ = vb_.astype(jnp.uint32)
-            c_ = va_.astype(jnp.uint32)
-            p0 = a_ | (b_ << 18)
-            p1 = (b_ >> 14) | (c_ << 4)
+            # 2-word packed triangles (vids are < FVC <= 2^18); the host
+            # detects the u32[:, 2] shape and unpacks exactly
+            p0, p1 = _pack_tri_words(vc_, vb_, va_)
             tris = jnp.where(t_valid[:, None],
                              jnp.stack([p0, p1], axis=-1), 0)
         else:
@@ -2207,11 +2221,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             raw = np.asarray(tris[:n_tris])
             if raw.dtype == np.uint32 and raw.ndim == 2 and \
                     raw.shape[-1] == 2:
-                # 2-word packed triangles (18-bit vids) from the device
-                a = raw[:, 0] & 0x3FFFF
-                b = (raw[:, 0] >> 18) | ((raw[:, 1] & 0xF) << 14)
-                c = raw[:, 1] >> 4
-                tri_idx = np.stack([a, b, c], axis=1).astype(np.int64)
+                tri_idx = _unpack_tri_words(raw)
             else:
                 tri_idx = raw.astype(np.int64)
             faces = vertices[tri_idx]
