@@ -82,16 +82,11 @@ def fused_cost_analysis(net, force: bool):
     extraction program of this config, if one is cached.  Lowering is
     re-traced but compilation hits the (persistent) XLA cache."""
     try:
-        from tropical.extract import device as dv
-
-        # the LAST matching entry is the program the timed runs execute
         # (warm-up may compile a persisted-caps program first, then a
-        # tight-caps one after _memoize_tight re-derives caps)
-        matches = [fn for key, fn in dv._EXTRACT_CACHE.items()
-                   if (isinstance(key, tuple) and key and key[-1] == "fused"
-                       and key[0] == net.spec and key[3] is force)]
-        if matches:
-            fn = matches[-1]
+        # tight-caps one after _memoize_tight re-derives caps; _fused_fn
+        # returns the last == the one the timed runs execute)
+        fn = _fused_fn(net, force)
+        if fn is not None:
             ca = fn.lower(net.params, net.marks).compile().cost_analysis()
             if isinstance(ca, list):  # older jax returns [dict]
                 ca = ca[0]
@@ -101,6 +96,37 @@ def fused_cost_analysis(net, force: bool):
     except Exception:
         pass
     return None, None
+
+
+def _fused_fn(net, force):
+    from tropical.extract import device as dv
+
+    # the LAST matching entry is the program the timed runs execute
+    matches = [fn for key, fn in dv._EXTRACT_CACHE.items()
+               if (isinstance(key, tuple) and key and key[-1] == "fused"
+                   and key[0] == net.spec and key[3] is force)]
+    return matches[-1] if matches else None
+
+
+def device_program_time(net, force):
+    """Wall-clock of the fused device program alone (result forced via a
+    1-element meta pull), best of 2."""
+    try:
+        import numpy as np
+
+        fn = _fused_fn(net, force)
+        if fn is None:
+            return None
+        best = None
+        for _ in range(2):
+            t = time.time()
+            *_, meta = fn(net.params, net.marks)
+            np.asarray(meta)  # 84-byte pull: one RTT, no bulk transfer
+            dt = time.time() - t
+            best = dt if best is None else min(best, dt)
+        return best
+    except Exception:
+        return None
 
 
 def run_config(metric, size, force, baseline_s, note, timed_runs):
@@ -131,6 +157,13 @@ def run_config(metric, size, force, baseline_s, note, timed_runs):
         "runs_s": [round(t, 3) for t in times],
         "baseline": note,
     }
+    dev_s = device_program_time(net, force)
+    if dev_s is not None:
+        # device-program-only wall (1-element result force): the remainder
+        # of `value` is the mesh pull over the ~40 MB/s dev tunnel — a cost
+        # the reference pays over PCIe at >10 GB/s (its timer boundary also
+        # includes the GPU->CPU faces pull, subpoly.py:728)
+        extra["device_program_s"] = round(dev_s, 4)
     flops, nbytes = fused_cost_analysis(net, force)
     if flops is not None:
         extra["roofline"] = {

@@ -2041,6 +2041,25 @@ def device_engine_supports(net) -> bool:
     return r == R_COLS and int(net.marks.shape[0]) <= 511
 
 
+def _start_host_copy(*arrays):
+    """Queue d2h copies without blocking (they start the moment each array's
+    producing program finishes).  Over the ~40 MB/s dev tunnel this both
+    pipelines the transfers behind one another and removes the dispatch
+    round-trip a later blocking ``np.asarray`` would otherwise pay."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except Exception:  # backend without async copies: asarray will block
+            pass
+
+
+# start full-buffer d2h pulls of the (tight-caps) V/tris outputs as soon as
+# the fused program is dispatched, iff the padded buffers are small enough
+# that the padding tax beats the saved round-trips.  16 MB ~ 0.4 s worst
+# case on the tunnel; with memoized tight caps the padding is ~20%.
+_PREFETCH_BYTES = 16 * 2 ** 20
+
+
 def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                    verbose: bool = True, caps: Caps | None = None,
                    force: bool = True, skeleton_mode: str = "auto"):
@@ -2199,10 +2218,30 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             _PERSISTED["skel"][skel_tok] = want
             _persist_caps()
 
-    def _finish(V, OUT, E, nV, nE, nV_pre, nE_pre, tris=None, n_tris=0):
+    def _finish(V, OUT, E, nV, nE, nV_pre, nE_pre, tris=None, n_tris=0,
+                prefetched=False):
         n_v = int(nV)
         n_e = int(nE)
-        vertices = np.asarray(V[:n_v])
+        if prefetched:
+            # the full (tight, FVC-wide) buffer is already riding the tunnel
+            # from _start_host_copy: a [:n_v] host view avoids the device
+            # slice dispatch (~25 ms RTT) entirely
+            vertices = np.asarray(V)[:n_v]
+        elif tris is not None and n_v > 0:
+            # one jitted slicer for BOTH outputs (a single dispatch RTT
+            # instead of two), then overlap the two d2h copies
+            n_t = int(n_tris)
+            skey = ("fin-slice", V.shape, tris.shape, str(tris.dtype),
+                    n_v, n_t)
+            if skey not in _EXTRACT_CACHE:
+                _EXTRACT_CACHE[skey] = jax.jit(
+                    lambda v, t, nv=n_v, nt=n_t: (v[:nv], t[:nt]))
+            Vs_d, Ts_d = _EXTRACT_CACHE[skey](V, tris)
+            _start_host_copy(Vs_d, Ts_d)
+            vertices = np.asarray(Vs_d)
+            tris, n_tris, prefetched = Ts_d, n_t, True
+        else:
+            vertices = np.asarray(V[:n_v])
 
         if verbose:
             # reference funnel line format (subpoly.py:71-84): A/B => C/D
@@ -2211,14 +2250,15 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
 
         if n_v == 0:
             stats.record(int(nV_pre), int(nE_pre), 0, 0, 0)
-            return (np.empty((0, 3, 3), np.float32), vertices,
+            return (np.empty((0, 3, 3), np.float32), vertices[:0],
                     np.empty((0, 3), np.int64))
 
         if tris is not None:
             # faces were assembled on device: pull only vertices + index
             # triples — the edge array is never consumed on this path, and
             # its ~8 B/edge would ride a ~40 MB/s tunnel
-            raw = np.asarray(tris[:n_tris])
+            raw = np.asarray(tris)[:n_tris] if prefetched \
+                else np.asarray(tris[:n_tris])
             if raw.dtype == np.uint32 and raw.ndim == 2 and \
                     raw.shape[-1] == 2:
                 tri_idx = _unpack_tri_words(raw)
@@ -2267,6 +2307,11 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
             try:
                 V, OUT, E, tris, meta = _EXTRACT_CACHE[fkey](
                     net.params, net.marks)
+                pre = V.nbytes + tris.nbytes <= _PREFETCH_BYTES
+                if pre:
+                    _start_host_copy(meta, V, tris)
+                else:
+                    _start_host_copy(meta)
             except Exception as e:  # remote compile OOM etc.: ramp fallback
                 if verbose:
                     msg = str(e).splitlines()[0][:200] if str(e) else ""
@@ -2290,7 +2335,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 if sk is not None and min(sk) > 0:
                     _memoize_skel_tight(*sk)
                 return _finish(V, OUT, E, nV, nE, nV_pre, nE_pre,
-                               tris=tris, n_tris=n_tris)
+                               tris=tris, n_tris=n_tris, prefetched=pre)
             if ovf != 0 and ovf & ~(OVF_F | OVF_G) == 0:
                 # faces-stage-only capacity miss: grow just those buffers
                 # and retry the fused program (the loop itself was fine)
@@ -2381,6 +2426,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
 
         V, OUT, E, _tris0, meta = extract(
             net.params, net.marks, Vp, Op, Ep, nV0, nE0)
+        _start_host_copy(meta)
         m = np.asarray(meta)
         nV, nE, ovf, nV_pre, nE_pre, _ = (int(x) for x in m[:6])
         hw = m[6:19]
