@@ -1298,12 +1298,19 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         vlanes, vval, n_used = _compact_lanes(used, FVC if with_faces
                                               else VCAP)
         V = jnp.where(vval[:, None], V[vlanes], 0)
-        OUT = jnp.where(vval[:, None], OUT[vlanes], 0)
 
         if with_faces:
+            # the faces stage only consumes eps-SIGNS of the outputs: gather
+            # the 2 packed u32 words per vertex instead of the 34 f32
+            # columns (~17x less gather traffic), and return a 0-row OUT —
+            # it is never pulled on this path
+            SBf = _gather_words(state.SB, vlanes)      # [NW, FVC]
+            ZBf = _gather_words(state.ZB, vlanes)
+            OUT = jnp.zeros((0, R_COLS), jnp.float32)
             n_ekeep = e_keep.sum().astype(jnp.int32)
             E = jnp.zeros((0, 2), jnp.int32)
         else:
+            OUT = jnp.where(vval[:, None], OUT[vlanes], 0)
             elanes, eval_, n_ekeep = _compact_lanes(e_keep, ECAP)
             E = jnp.where(eval_[:, None], new_index[E[elanes]], 0)
 
@@ -1333,20 +1340,25 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         # bookkeeping.
         KF = KCAP
         PREPF = 1 << KF
-        # region polygon width: decoupled from the loop's pair window WCAP
-        # (which can ramp to 128 on degenerate grids while real surface
-        # polygons stay small) — every faces array below is [RGC, G]-shaped
-        G = caps.gcap or WCAP
 
         fvalid = jnp.arange(FVC, dtype=jnp.int32) < n_used
         ovf = ovf | jnp.where(n_used > FVC, OVF_F, 0)
         Vf = V          # compacted straight into the FVC-wide buffer above
-        OUTf = OUT
 
         xu2 = preprocess(spec, Vf)
         g_mask, g_off = _grid_region_lut(marks, lut, xu2, eps, lut_k)
         colf = jnp.arange(R_COLS, dtype=jnp.int32)
-        sgn_f = _eps_sign(OUTf, eps)
+        # eps-sign trits unpacked from the per-vertex sign/zero words (exact
+        # _eps_sign equivalent: zero bit = |out| <= eps, sign bit = out > 0)
+        parts_s, parts_z = [], []
+        for w in range(NW):
+            sh = jnp.arange(min(32 * w + 32, R_COLS) - 32 * w,
+                            dtype=jnp.uint32)
+            parts_s.append((SBf[w][:, None] >> sh[None, :]) & 1)
+            parts_z.append((ZBf[w][:, None] >> sh[None, :]) & 1)
+        sb_col = jnp.concatenate(parts_s, axis=1).astype(jnp.int32)
+        zb_col = jnp.concatenate(parts_z, axis=1).astype(jnp.int32)
+        sgn_f = jnp.where(zb_col > 0, 0, jnp.where(sb_col > 0, 1, -1))
         sgn_f = jnp.where(colf[None, :] < R_COLS - 1, sgn_f, 1)
         allc = jnp.concatenate([g_mask, sgn_f], axis=1)
         is_zero = allc == 0
@@ -1380,61 +1392,70 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         ovf = ovf | jnp.where(n_rg > RGC, OVF_F, 0)
         rids = jnp.where(sval2, rid, RGC)
 
+        # ---- ragged region pipeline: every per-polygon quantity rides the
+        # [nrep] replica axis.  Regions average ~3-4 members, so the old
+        # dense [RGC, G] member table was ~80% padding and its gathers and
+        # row-sorts dominated the faces stage (73 ms for the [RGC, G, 3]
+        # point gather alone at the large preset).
+        #
         # replica order within a region mirrors the host expansion order
         # (zero-count group, then vertex id; subpoly.py:306-335)
         r2a, r2kz, r2v = jax.lax.sort(
             (rids, kzf[srow], srow), num_keys=3)
         i2 = jnp.arange(nrep, dtype=jnp.int32)
         nr2 = jnp.concatenate([jnp.ones((1,), bool), r2a[1:] != r2a[:-1]])
+        valid_rep = r2a < RGC
+        rsafe = jnp.clip(r2a, 0, RGC - 1)
+        rstart = jax.lax.cummax(jnp.where(nr2, i2, 0))
+        krank = i2 - rstart                    # member rank within region
         cnt = jnp.zeros(RGC, jnp.int32).at[rids].add(1, mode="drop")
+        tsum = jnp.zeros(RGC, jnp.int32).at[
+            jnp.where(valid_rep, r2a, RGC)].add(r2v, mode="drop")
         starts = jnp.zeros(RGC, jnp.int32).at[
-            jnp.where(nr2 & (r2a < RGC), r2a, RGC)].max(
+            jnp.where(nr2 & valid_rep, r2a, RGC)].max(
             i2, mode="drop", unique_indices=True)
-        tblidx = starts[:, None] + jnp.arange(G, dtype=jnp.int32)[None, :]
-        tbl = r2v[jnp.clip(tblidx, 0, nrep - 1)]
-        gmask_col = jnp.arange(G, dtype=jnp.int32)[None, :] < cnt[:, None]
-        tbl = jnp.where(gmask_col, tbl, -1)
-        gmax = cnt.max().astype(jnp.int32)
-        ovf = ovf | jnp.where(gmax > G, OVF_G, 0)
+        gmax = cnt.max().astype(jnp.int32)     # stats only (sizes hw[12])
 
-        # deterministic region ordering + duplicate-row removal
-        # (np.unique semantics, subpoly.py:617-620).  A full G-operand
-        # lexicographic sort makes the TPU backend's variadic-sort
-        # comparator explode at compile time (hours remotely), so sort by a
-        # compact 7-key prefix (first four vids + count + sum + xor) that
-        # puts identical rows adjacent, then exact-compare adjacent rows
-        # across all G columns.  Region ORDER therefore differs from the
+        # deterministic region ordering + duplicate-row removal (np.unique
+        # semantics, subpoly.py:617-620): order regions by a compact key
+        # (first four member vids + count + sum) that puts identical member
+        # lists adjacent, then exact-compare ADJACENT regions member-by-
+        # member in replica space.  Region ORDER therefore differs from the
         # host's np.unique lex order (triangle ordering only; content is
-        # deduplicated exactly).
+        # deduplicated exactly, same guarantee as the host).
+        def member_k(k):
+            pos = jnp.clip(starts + k, 0, nrep - 1)
+            return jnp.where(cnt > k, r2v[pos], -1)
         guard = jnp.where(cnt > 0, 0, jnp.int32(BIGKEY))
-        tmask = tbl != -1
-        tsum = jnp.sum(jnp.where(tmask, tbl, 0), axis=1, dtype=jnp.int32)
-        txor = tbl[:, 0] ^ tbl[:, 1]
-        for j in range(2, G):
-            txor = txor ^ tbl[:, j]
-        lexkeys = (guard, tbl[:, 0], tbl[:, 1], tbl[:, 2], tbl[:, 3],
-                   cnt, tsum, txor, jnp.arange(RGC, dtype=jnp.int32))
-        sorted_ops = jax.lax.sort(lexkeys, num_keys=8)
-        rord = sorted_ops[-1]
-        tbl_s = tbl[rord]
-        cnt_s = cnt[rord]
-        same_prev = jnp.concatenate([
-            jnp.zeros((1,), bool),
-            (tbl_s[1:] == tbl_s[:-1]).all(-1)])
-        keep_rg = (cnt_s >= 3) & ~same_prev & (cnt_s > 0)
-        klanes, kval, n_keep_rg = _compact_lanes(keep_rg, RGC)
-        tblk = jnp.where(kval[:, None], tbl_s[klanes], -1)
-        cntk = jnp.where(kval, cnt_s[klanes], 0)
+        rar = jnp.arange(RGC, dtype=jnp.int32)
+        sorted_ops = jax.lax.sort(
+            (guard, member_k(0), member_k(1), member_k(2), member_k(3),
+             cnt, tsum, rar), num_keys=7)
+        rord = sorted_ops[-1]                  # output rank j -> region id
+        jrank = jnp.zeros(RGC, jnp.int32).at[rord].set(
+            rar, unique_indices=True)          # region id -> output rank j
+        prev_rid = jnp.concatenate([rord[:1], rord[:-1]])[jrank]
+        pstart = starts[prev_rid]
+        pcnt = cnt[prev_rid]
+        # replica (region, k) checks member k of the region one output rank
+        # earlier; a region is a duplicate iff counts match and no member
+        # mismatches (segment-AND via a mismatch-count scatter)
+        ppos = jnp.clip(pstart[rsafe] + krank, 0, nrep - 1)
+        mism = valid_rep & (r2v != r2v[ppos])
+        neq = jnp.zeros(RGC, jnp.int32).at[
+            jnp.where(mism, r2a, RGC)].add(1, mode="drop")
+        dup_rg = (jrank > 0) & (cnt > 0) & (cnt == pcnt) & (neq == 0)
+        keep_rg = (cnt >= 3) & ~dup_rg
 
         # mean point + sdf normal per region (subpoly.py:627-635); the
         # normal rides three shared-primal jvps (same vjp-SIGILL avoidance
         # and cost argument as _sdf_dist_grad: the primal's table gathers
         # are CSE'd once, the tangents are arithmetic-only) — sdf = tanh of
         # the last column, so grad = (1 - sdf^2) * dcol/dq
-        safe_tbl = jnp.maximum(tblk, 0)
-        pts = Vf[safe_tbl] * (tblk != -1)[..., None]       # [RGC, G, 3]
-        kdiv = jnp.maximum(cntk, 1)[:, None].astype(jnp.float32)
-        means = pts.sum(1) / kdiv
+        ptsr = Vf[jnp.clip(r2v, 0, FVC - 1)] * valid_rep[:, None]
+        kdiv = jnp.maximum(cnt, 1)[:, None].astype(jnp.float32)
+        means = jnp.zeros((RGC, 3), jnp.float32).at[
+            jnp.where(valid_rep, r2a, RGC)].add(ptsr, mode="drop") / kdiv
         fm = lambda w: net_outputs(spec, params, w)
         out_m, fm_lin = jax.linearize(fm, means)
         tangs = []
@@ -1444,41 +1465,55 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         sd_m = jnp.tanh(out_m[:, -1])
         normals = jnp.stack(tangs, -1) * (1.0 - sd_m * sd_m)[:, None]
 
-        # angular sort (geometry.py:483-514 scores, stable descending);
-        # sort the vid rows directly alongside the score key — an argsort +
-        # take_along_axis pair lowers as an extra [RGC, G] gather
-        u = pts - (pts.sum(-2, keepdims=True) / kdiv[..., None])
-        dcr = jnp.cross(jnp.broadcast_to(u[:, :1], u.shape), u)
+        # angular score per replica (geometry.py:483-514), relative to the
+        # region's FIRST member (the dense row-sort's u[:, :1])
+        u = ptsr - means[rsafe]
+        u0 = u[rstart]
+        dcr = jnp.cross(u0, u)
         nrm = jnp.linalg.norm(u, axis=-1)
-        denom = jnp.maximum(nrm[:, :1] * nrm, 1e-8)
-        cosb = (u[:, :1] * u).sum(-1) / denom
-        dn = (dcr @ normals[..., None])[..., 0]
+        denom = jnp.maximum(nrm[rstart] * nrm, 1e-8)
+        cosb = (u0 * u).sum(-1) / denom
+        dn = (dcr * normals[rsafe]).sum(-1)
         score = cosb * ((dn >= 0) * 2.0 - 1.0) + (dn < 0) * 2.0
-        _, rows_sorted = jax.lax.sort((-score, tblk), dimension=-1,
-                                      num_keys=1, is_stable=True)
 
-        # duplicate-vid removal keeping the first occurrence in angle order,
-        # then left-compaction (tensor_to_triangle_faces, subpoly.py:700-728).
-        # No [RGC, G, G] comparison matrix (1+ GB at large-preset region
-        # counts): sort each row by (vid, angle-pos), flag adjacent repeats,
-        # and sort back by angle-pos carrying the flag.
-        posg = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[None, :],
-                                rows_sorted.shape)
-        vkey = jnp.where(rows_sorted == -1, jnp.int32(BIGKEY), rows_sorted)
-        svid, spos = jax.lax.sort((vkey, posg), dimension=-1, num_keys=2)
-        dup_sorted = jnp.concatenate([
-            jnp.zeros(svid[:, :1].shape, jnp.int32),
-            ((svid[:, 1:] == svid[:, :-1]) & (svid[:, 1:] < BIGKEY))
-            .astype(jnp.int32)], axis=1)
-        _, dup_back = jax.lax.sort((spos, dup_sorted), dimension=-1,
-                                   num_keys=1)
-        valid3 = (rows_sorted != -1) & (dup_back == 0)
-        rank3 = jnp.cumsum(valid3.astype(jnp.int32), axis=1) - 1
-        rkey = jnp.where(valid3, rank3, G)
-        _, packed = jax.lax.sort((rkey, rows_sorted), dimension=-1,
-                                 num_keys=1, is_stable=True)
-        cnt2 = valid3.sum(1).astype(jnp.int32)
+        # one global stable sort groups replicas by output region rank and
+        # angle-sorts within each region (ties keep the (zero-count, vid)
+        # member order, like the dense stable row-sort did)
+        jkey_rid = jnp.where(keep_rg, jrank, jnp.int32(RGC))
+        jkey = jnp.where(valid_rep, jkey_rid[rsafe], jnp.int32(RGC))
+        jk_s, _, vid_s = jax.lax.sort((jkey, -score, r2v), num_keys=2,
+                                      is_stable=True)
+
+        # duplicate-vid removal keeping the first occurrence in angle order
+        # (tensor_to_triangle_faces, subpoly.py:700-728): sort by (region,
+        # vid, angle-pos), flag adjacent repeats, scatter the flag back to
+        # angle order
+        apos = jnp.arange(nrep, dtype=jnp.int32)
+        vkey = jnp.where(jk_s < RGC, vid_s, jnp.int32(BIGKEY))
+        jk2, vk2, ap2 = jax.lax.sort((jk_s, vkey, apos), num_keys=3)
+        dup2 = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            ((jk2[1:] == jk2[:-1]) & (vk2[1:] == vk2[:-1])
+             & (vk2[1:] < BIGKEY)).astype(jnp.int32)])
+        dup_back = jnp.zeros(nrep, jnp.int32).at[ap2].set(
+            dup2, unique_indices=True)
+        valid3 = (jk_s < RGC) & (dup_back == 0)
+
+        # rank among the region's surviving members + left-compaction into
+        # a [nrep] buffer ordered by (output region rank, angle rank)
+        v3i = valid3.astype(jnp.int32)
+        csv = jnp.cumsum(v3i)
+        newj = jnp.concatenate([jnp.ones((1,), bool), jk_s[1:] != jk_s[:-1]])
+        jstart = jax.lax.cummax(jnp.where(newj, apos, 0))
+        rank3 = csv - (csv - v3i)[jstart] - 1
+        cnt2 = jnp.zeros(RGC, jnp.int32).at[
+            jnp.where(valid3, jk_s, RGC)].add(1, mode="drop")  # j space
         ntri = jnp.clip(cnt2 - 2, 0, None)
+        base2 = jnp.cumsum(cnt2) - cnt2
+        cpos = base2[jnp.clip(jk_s, 0, RGC - 1)] + rank3
+        cvid = jnp.zeros(nrep, jnp.int32).at[
+            jnp.where(valid3, jnp.clip(cpos, 0, nrep - 1), nrep)].set(
+            vid_s, mode="drop", unique_indices=True)
 
         # fan-triangle slot assignment (same prefix-sum/cummax trick as the
         # pair stage), winding reversed to outward (faces.py:140-142)
@@ -1488,15 +1523,15 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         starts_t = cumt - ntri
         marker_t = jnp.zeros(TC, jnp.int32).at[
             jnp.where(ntri > 0, starts_t, TC)].max(
-            jnp.arange(RGC, dtype=jnp.int32), mode="drop",
-            unique_indices=True)
+            rar, mode="drop", unique_indices=True)
         sit = jax.lax.cummax(marker_t)
         slot_t = jnp.arange(TC, dtype=jnp.int32)
         ot = slot_t - starts_t[sit]
         t_valid = slot_t < total_t
-        va_ = packed[sit, 0]
-        vb_ = packed[sit, jnp.clip(ot + 1, 0, G - 1)]
-        vc_ = packed[sit, jnp.clip(ot + 2, 0, G - 1)]
+        cb = base2[sit]
+        va_ = cvid[jnp.clip(cb, 0, nrep - 1)]
+        vb_ = cvid[jnp.clip(cb + ot + 1, 0, nrep - 1)]
+        vc_ = cvid[jnp.clip(cb + ot + 2, 0, nrep - 1)]
         if (FVC - 1).bit_length() <= 18:
             # 2-word packed triangles (vids are < FVC <= 2^18); the host
             # detects the u32[:, 2] shape and unpacks exactly
