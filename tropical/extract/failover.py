@@ -94,6 +94,13 @@ def gradient_descent_failover(net, e_c: np.ndarray, ints: np.ndarray,
     the local edge coordinates, clamped to [0, 1]^3 (reference
     subpoly_debug.py:121-165).  Only rows in ``gd`` = not-out-of-range but
     off-surface are optimized.  Returns updated (ints, d_new).
+
+    The whole bounded loop runs as ONE jitted ``lax.while_loop`` dispatch
+    (same structure as the fused device engine's gd_cond/gd_body,
+    device.py s3 curved stage) — the previous host ``while`` paid one device
+    round-trip per iteration, up to ~12 s worst case on the ~25 ms tunnel.
+    Rows are padded to a power-of-two bucket with a validity mask so the 33
+    insertion steps share a handful of compiled shapes.
     """
     import jax
     import jax.numpy as jnp
@@ -104,38 +111,61 @@ def gradient_descent_failover(net, e_c: np.ndarray, ints: np.ndarray,
     if not gd.any():
         return ints, d_new
 
-    e0 = jnp.asarray(e_c[gd, 0])
-    e1 = jnp.asarray(e_c[gd, 1])
-    cols = jnp.asarray(plane_cols[gd].astype(np.int32))
+    n = int(gd.sum())
+    cap = max(8, 1 << (n - 1).bit_length())        # pow-2 shape bucket
+    pad = cap - n
+
+    def _pad(a, fill=0):
+        return jnp.asarray(np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], 0))
+
+    e0 = _pad(e_c[gd, 0])
+    # padded rows get a degenerate edge (e1 == e0) and are masked everywhere
+    e1 = _pad(e_c[gd, 1] - e_c[gd, 0]) + e0
+    cols = _pad(plane_cols[gd].astype(np.int32))
+    valid = _pad(np.ones(n, bool))
     spec, params = net.spec, net.params
 
     @jax.jit
-    def step(x):
+    def run(x0):
         def loss(x):
             pts = e0 + x * (e1 - e0)
             outs = net_outputs(spec, params, pts)
             d0 = jnp.take_along_axis(outs, cols[:, None], axis=1)[:, 0]
             d1 = outs[:, idx]
-            return (d0 ** 2 + d1 ** 2).sum(), (d0, d1)
+            y = jnp.where(valid, d0 ** 2 + d1 ** 2, 0.0).sum()
+            return y, (d0, d1)
 
-        (_, (d0, d1)), g = jax.value_and_grad(loss, has_aux=True)(x)
-        gn = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
-        x_next = jnp.clip(x - lr * gn, 0.0, 1.0)
-        return x_next, d0, d1
+        def cond(carry):
+            _, d0, d1, i = carry
+            m0 = jnp.where(valid, jnp.abs(d0), 0.0).max()
+            m1 = jnp.where(valid, jnp.abs(d1), 0.0).max()
+            return ((m0 > eps) | (m1 > eps)) & (i < max_iters)
 
-    x = jnp.asarray(ints[gd])
-    d0 = d1 = np.array([1.0])
-    i = 0
-    while (np.abs(d0).max() > eps or np.abs(d1).max() > eps) and i < max_iters:
-        x, d0j, d1j = step(x)
-        d0, d1 = np.asarray(d0j), np.asarray(d1j)
-        i += 1
+        def body(carry):
+            x, pd0, pd1, i = carry
+            (_, (d0, d1)), g = jax.value_and_grad(loss, has_aux=True)(x)
+            gn = g / jnp.maximum(
+                jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+            x2 = jnp.clip(x - lr * gn, 0.0, 1.0)
+            x2 = jnp.where(valid[:, None], x2, x)
+            return (x2, jnp.where(valid, d0, pd0),
+                    jnp.where(valid, d1, pd1), i + 1)
+
+        ones = jnp.where(valid, 1.0, 0.0)
+        # d0/d1 reported are evaluated at the pre-update x of the final step,
+        # exactly like the reference host loop (subpoly_debug.py:151-163)
+        x, d0, d1, _ = jax.lax.while_loop(
+            cond, body, (x0, ones, ones, jnp.int32(0)))
+        return x, d0, d1
+
+    x, d0, d1 = run(_pad(ints[gd].astype(np.float32)))
 
     ints = ints.copy()
     d_new = d_new.copy()
-    ints[gd] = np.asarray(x)
-    d_new[gd, 0] = d0
-    d_new[gd, 1] = d1
+    ints[gd] = np.asarray(x)[:n]
+    d_new[gd, 0] = np.asarray(d0)[:n]
+    d_new[gd, 1] = np.asarray(d1)[:n]
     return ints, d_new
 
 
