@@ -35,21 +35,25 @@ def test_train_cli_end_to_end(tmp_cwd, monkeypatch):
     monkeypatch.setattr(ch, "get_rays",
                         lambda n=100000, rng=None: orig_rays(2000, rng))
 
+    # 25 epochs: at 15 this tiny 2000-sample fixture is marginal — the
+    # trained tanh SDF's max grazes zero (+-0.005 depending on benign
+    # numeric changes elsewhere, e.g. the tcnn boundary-cell wrap), and an
+    # empty extraction fails the smoke test for the wrong reason
     rc = train_mod.main(["-d", "sphere", "-s", "3", "-m", "small",
-                         "--epochs", "15", "-e", "--gt_res", "24",
-                         "--extract_every", "14"])
+                         "--epochs", "25", "-e", "--gt_res", "24",
+                         "--extract_every", "24"])
     assert rc == 0
     assert os.path.isfile("meshes/sphere/our_mesh_small_3.ply")
     assert os.path.isfile("models/sphere_small_3.pth.npz")
     # the evolving complex was rendered at the intermediate extraction
-    # (epoch 14 of 15: late enough that the SDF already has a zero set —
+    # (epoch 24 of 25: late enough that the SDF already has a zero set —
     # earlier-epoch extractions on this tiny fixture are legitimately empty
     # and render nothing).  train.py deliberately degrades to a no-op
     # snapshot without matplotlib, so only assert where it can render.
     try:
         import matplotlib  # noqa: F401
 
-        assert os.path.isfile("meshes/sphere/training_small_3_epoch014.png")
+        assert os.path.isfile("meshes/sphere/training_small_3_epoch024.png")
     except ImportError:
         pass
 

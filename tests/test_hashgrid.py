@@ -301,3 +301,101 @@ def test_encode_lattice_gradient_matches():
     _, tl = jax.jvp(lambda a: encode_lattice(spec, params, a, xs, xs),
                     (xs,), (jnp.ones_like(xs),))
     assert np.abs(np.asarray(tp) - np.asarray(tl)).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Golden encoding VALUES, hand-derived from the public tiny-cuda-nn grid
+# kernel semantics (grid.h: pos = x*scale + 0.5, linear dense index with
+# x-fastest stride, coherent-prime hash, unconditional `index % hashmap_size`
+# with hashmap_size = the LEVEL's padded entry count, N-linear weights).
+# Literals produced by scripts/derive_tcnn_goldens.py — an independent numpy
+# restatement of those rules, so a drift in stride order, corner order, the
+# per-level wrap, or the 0.5 offset fails these even if the library and its
+# unit tests were edited in tandem.  Reference wraps real tcnn at
+# tropical/tropical.py:32-47.
+# ---------------------------------------------------------------------------
+
+def _golden_table(n_entries: int, F: int = 2) -> np.ndarray:
+    """Deterministic f32-exact fill: t[e,f] = ((3e+5f) % 257 - 128) / 64."""
+    e = np.arange(n_entries)[:, None]
+    f = np.arange(F)[None, :]
+    return ((((3 * e + 5 * f) % 257) - 128) / 64.0).astype(np.float32)
+
+
+def test_tcnn_golden_values_dense_interior():
+    """SMALL preset, interior point: full 8-feature output pinned."""
+    params = jnp.asarray(_golden_table(SMALL.n_entries))
+    x = jnp.asarray([[0.35, 0.60, 0.85]], jnp.float32)
+    out = np.asarray(encode(SMALL, params, x))[0]
+    golden = [-1.7595312560, -1.6814062560, -1.2559877949, -1.4761360182,
+              0.1083649024, 0.1864899024, -0.7585932761, -0.6804682761]
+    np.testing.assert_allclose(out, golden, atol=2e-6)
+
+
+def test_tcnn_golden_values_dense_boundary_wrap():
+    """x = (1,1,1): on every SMALL level the cell's upper corner coordinate
+    reaches `res`, so the linear index wraps mod the LEVEL's padded entry
+    count exactly like tcnn's grid_index — level 2 (res 13, 2197 entries
+    padded to 2200) wraps 2209 -> 9, level 3 (res 32) wraps 32768 -> 0.
+    A clip-to-last-entry or a mod-2^T implementation fails this."""
+    params = jnp.asarray(_golden_table(SMALL.n_entries))
+    x = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32)
+    out = np.asarray(encode(SMALL, params, x))[0]
+    golden = [-1.8359375000, -1.7578125000, -0.5059488416, -0.4278238416,
+              -0.4314318541, -0.3533068541, 0.0742187500, 0.1523437500]
+    np.testing.assert_allclose(out, golden, atol=2e-6)
+
+    # the wrapped corner indices themselves (level 2 boundary cell)
+    from tropical.core.hashgrid import _level_indices
+    cp = jnp.asarray([[12, 12, 12], [13, 12, 12], [13, 13, 13]], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(_level_indices(SMALL, 2, cp)), [2196, 2197, 179])
+
+
+def test_tcnn_golden_values_hash_level():
+    """NGP default config, level 6 (res 112, hashed at T=19): feature pair
+    pinned; the corner slots mix all three primes in uint32 arithmetic."""
+    params = jnp.asarray(_golden_table(NGP.n_entries))
+    x = jnp.asarray([[0.3217, 0.5861, 0.0523]], jnp.float32)
+    out = np.asarray(encode(NGP, params, x))[0, 12:14]
+    np.testing.assert_allclose(out, [0.0252026602, 0.1033276602], atol=2e-6)
+
+
+def test_tcnn_pth_import_end_to_end(tmp_path):
+    """A real torch-saved .pth checkpoint (zipfile state_dict with a
+    non-trivial table) loads through the reference path
+    (find_checkpoint -> load_into -> torch.load) and reproduces the golden
+    encoding through the imported table."""
+    torch = pytest.importorskip("torch")
+    from tropical.core.net import NetSpec, TropicalNet
+    from tropical.utils import checkpoint as ckpt
+
+    spec = NetSpec(num_layers=3, num_hidden=16, levels=4, r_min=2, r_max=32,
+                   T=19)
+    assert spec.grid.n_entries == SMALL.n_entries  # same table layout
+    table = _golden_table(spec.grid.n_entries)
+    state = {"enc.module.params": torch.tensor(table.reshape(-1))}
+    rng = np.random.default_rng(7)
+    for i, (fi, fo) in enumerate(zip(spec.num_nodes[:-1], spec.num_nodes[1:])):
+        state[f"fc.{i}.weight"] = torch.tensor(
+            rng.normal(size=(fo, fi)).astype(np.float32))
+        state[f"fc.{i}.bias"] = torch.tensor(
+            rng.normal(size=(fo,)).astype(np.float32))
+    path = str(tmp_path / "golden_sdf_small_1.pth")
+    torch.save(state, path)
+
+    found = ckpt.find_checkpoint(path)
+    assert found == path
+    net = TropicalNet(spec)
+    ckpt.load_into(net, found)
+    np.testing.assert_array_equal(np.asarray(net.params["table"]), table)
+
+    out = np.asarray(net.enc(jnp.asarray([[0.35, 0.60, 0.85]], jnp.float32)))[0]
+    golden = [-1.7595312560, -1.6814062560, -1.2559877949, -1.4761360182,
+              0.1083649024, 0.1864899024, -0.7585932761, -0.6804682761]
+    np.testing.assert_allclose(out, golden, atol=2e-6)
+    # and the MLP weights arrive transposed to [in, out]
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(net.params["mlp"]["w"][i]),
+            state[f"fc.{i}.weight"].numpy().T)

@@ -61,3 +61,88 @@ def test_cosine_schedule_decays():
     assert abs(float(schedule(0)) - 1e-3) < 1e-9
     assert float(schedule(50)) < 1e-3
     assert float(schedule(100)) < 1e-8
+
+
+def test_scan_epoch_matches_host_loop():
+    """One lax.scan epoch produces the same params/losses as the per-step
+    host loop (same batches, same Adam/cosine state threading)."""
+    from tropical.stanford.training import make_scan_epoch
+
+    spec, params = _tiny()
+    rng = np.random.default_rng(3)
+    n_batches, B = 6, 32
+    xs = rng.uniform(-1, 1, (n_batches, B, 3)).astype(np.float32)
+    ys = rng.uniform(-0.3, 0.3, (n_batches, B)).astype(np.float32)
+
+    tx, _ = make_optimizer(1e-3, n_batches)
+    step = make_train_step(spec, tx, B)
+    p_loop = params
+    s_loop = tx.init(params)
+    totals_loop = []
+    for i in range(n_batches):
+        p_loop, s_loop, total, _ = step(
+            p_loop, s_loop, jnp.asarray(xs[i]), jnp.asarray(ys[i]))
+        totals_loop.append(float(total))
+
+    tx2, _ = make_optimizer(1e-3, n_batches)
+    epoch = make_scan_epoch(spec, tx2, B)
+    p_scan, _, totals_scan, _ = epoch(
+        params, tx2.init(params), jnp.asarray(xs), jnp.asarray(ys))
+
+    np.testing.assert_allclose(
+        np.asarray(totals_scan), np.asarray(totals_loop), rtol=2e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(p_loop),
+                    jax.tree_util.tree_leaves(p_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_train_scan_auto_end_to_end():
+    """train(scan=None) auto-selects the scan path on an even split and
+    still reduces the loss on a small synthetic problem."""
+    from tropical.core.net import TropicalNet
+    from tropical.stanford.training import train
+
+    spec = NetSpec(num_layers=3, num_hidden=16, levels=2, r_min=2, r_max=4,
+                   T=10)
+    net = TropicalNet(spec, key=jax.random.PRNGKey(0))
+
+    class _DS:
+        def __init__(self):
+            # balanced signed distances to a sphere of radius 0.6: radii
+            # uniform in [0.1, 1.1] so labels straddle zero (an unbalanced
+            # set saturates pred beyond the +-0.2 clamp and flattens L1)
+            rng = np.random.default_rng(0)
+            d = rng.normal(size=(256, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            r = rng.uniform(0.1, 1.1, (256, 1)).astype(np.float32)
+            self.X = d * r
+            self.Y = (0.6 - r[:, 0]).astype(np.float32)
+
+        def __len__(self):
+            return 256
+
+        def resample(self):
+            pass
+
+        def batches(self, batch_size, shuffle=True):
+            for i in range(0, 256, batch_size):
+                yield self.X[i:i + batch_size], self.Y[i:i + batch_size]
+
+    ds = _DS()
+    # center the init so pred starts inside the +-0.2 clamp window — the
+    # clamp has zero gradient outside it (reference train.py semantics), so
+    # an off-center init would freeze the L1 term entirely
+    from tropical.core.net import net_outputs
+    out = np.asarray(net_outputs(spec, net.params, jnp.asarray(ds.X)))[:, -1]
+    b = np.asarray(net.params["mlp"]["b"][2]).copy()
+    b[1] -= out.mean()
+    net.params["mlp"]["b"][2] = jnp.asarray(b)
+    # track the L1 SDF-error component (the total is dominated by the
+    # weight-norm regularizer at init, which barely moves in a short run)
+    e0 = float(loss_fn(spec, net.params, jnp.asarray(ds.X),
+                       jnp.asarray(ds.Y), 256)[1])
+    train(net, ds, epochs=60, batch_size=64, verbose=False, resample=False)
+    e1 = float(loss_fn(spec, net.params, jnp.asarray(ds.X),
+                       jnp.asarray(ds.Y), 256)[1])
+    assert e1 < e0 * 0.6, (e0, e1)

@@ -123,9 +123,12 @@ def _level_indices(spec: HashGridSpec, l: int, grid: jax.Array) -> jax.Array:
     for d in range(1, spec.dim):
         stride *= res
         idx = idx + grid[..., d] * stride
-    # tcnn applies `index % hashmap_size` unconditionally; emulate so slightly
-    # out-of-range queries stay in-buffer instead of UB.
-    return jnp.remainder(idx, table).astype(jnp.int32)
+    # tcnn's grid_index applies `index % hashmap_size` unconditionally, with
+    # hashmap_size = THIS level's (padded) entry count — so a boundary cell
+    # whose upper corner coordinate reaches `res` wraps within the level
+    # (tiny-cuda-nn grid.h grid_index).  Bit-compatible with real tcnn for
+    # every in-cube query, including x = 1.0 on integer-scale levels.
+    return jnp.remainder(idx, spec.level_entries(l)).astype(jnp.int32)
 
 
 def _encode_level(spec: HashGridSpec, params: jax.Array, x: jax.Array,
@@ -148,10 +151,9 @@ def _encode_level(spec: HashGridSpec, params: jax.Array, x: jax.Array,
         for d in range(D):
             wd = frac[..., d] if bits[d] else 1.0 - frac[..., d]
             w = wd if w is None else w * wd
-        # clip: boundary cells whose upper corner leaves the dense level
-        # read the last entry instead of NaN-fill (tcnn reads past the
-        # level into the next level's memory there; either way the field
-        # stays finite and trilinear within the cell)
+        # _level_indices wraps within the level (tcnn's `% hashmap_size`),
+        # so off+idx is always in-table; clip only guards pathological
+        # out-of-cube queries
         g = jnp.take(params, off + idx, axis=0, mode="clip")  # [B, F]
         term = w[..., None] * g
         feat = term if feat is None else feat + term
