@@ -20,12 +20,13 @@ XLA compile time is excluded (the reference's CUDA kernels are likewise
 precompiled).  vs_baseline = baseline_s / ours_s (>1 = faster than the
 reference GPU run).
 
-Roofline extras (per config): XLA's own cost model for the fused extraction
-program (flops + bytes accessed) divided by measured wall-clock, against the
-v5e peaks (197 TFLOP/s bf16, 819 GB/s HBM) — the engine is gather-bound, so
-`hbm_util_pct_upper_bound` is the number that says how far from
-speed-of-light it runs (upper bound: XLA's bytes-accessed includes
-VMEM-hit re-reads, so values can exceed 100%).
+Roofline extras (per config): MEASURED — a jax.profiler device trace of the
+fused program gives per-op self-time; each op is charged its unique
+operand+output HLO buffer bytes per dynamic execution (inter-fusion buffers
+live in HBM), so `hbm_util_pct_measured` is physically bounded by the 819
+GB/s v5e peak.  `top_ops_by_time` names the three hottest ops.  The XLA
+cost-model flops figure is kept for the MXU-utilization line only (the
+engine is gather-bound by design; MXU% ~0 is expected).
 """
 
 from __future__ import annotations
@@ -108,6 +109,32 @@ def _fused_fn(net, force):
     return matches[-1] if matches else None
 
 
+def measured_roofline(net, force):
+    """Trace-measured roofline of the fused program: device self-time, HBM
+    traffic from trace-weighted HLO buffer sizes (each fusion charged its
+    unique operand+output bytes per dynamic execution — physically bounded
+    by the HBM peak, unlike the cost model's re-read-inflated 'bytes
+    accessed'), and the top-3 ops by measured time.  See
+    tropical/utils/roofline.py for the method."""
+    try:
+        from tropical.utils import roofline as rl
+
+        fn = _fused_fn(net, force)
+        if fn is None:
+            return None
+        r = rl.measure(fn, net.params, net.marks)
+        util = 100.0 * r["hbm_gbps"] * 1e9 / V5E_PEAK_HBM_BPS
+        return {
+            "device_time_s": r["device_time_s"],
+            "hbm_gbytes_measured": round(r["hbm_bytes"] / 1e9, 2),
+            "hbm_gbps_measured": r["hbm_gbps"],
+            "hbm_util_pct_measured": round(util, 1),
+            "top_ops_by_time": r["top_ops"],
+        }
+    except Exception:
+        return None
+
+
 def device_program_time(net, force):
     """Wall-clock of the fused device program alone (result forced via a
     1-element meta pull), best of 2."""
@@ -164,22 +191,15 @@ def run_config(metric, size, force, baseline_s, note, timed_runs):
         # the reference pays over PCIe at >10 GB/s (its timer boundary also
         # includes the GPU->CPU faces pull, subpoly.py:728)
         extra["device_program_s"] = round(dev_s, 4)
+    rf = measured_roofline(net, force)
+    if rf is not None:
+        extra["roofline"] = rf
     flops, nbytes = fused_cost_analysis(net, force)
     if flops is not None:
-        extra["roofline"] = {
-            "xla_gflops": round(flops / 1e9, 2),
-            "xla_gbytes_accessed": round(nbytes / 1e9, 2),
-            "achieved_gflops_per_s": round(flops / best / 1e9, 1),
-            "achieved_gbytes_per_s": round(nbytes / best / 1e9, 1),
-            "mxu_util_pct_of_bf16_peak": round(
-                100.0 * flops / best / V5E_PEAK_FLOPS, 2),
-            # xla "bytes accessed" counts every operand touch, including
-            # re-reads that hit VMEM — so this is an upper bound on true HBM
-            # utilization and can exceed 100% when the program has heavy
-            # on-chip reuse (observed 358% on the medium config)
-            "hbm_util_pct_upper_bound": round(
-                100.0 * nbytes / best / V5E_PEAK_HBM_BPS, 1),
-        }
+        extra.setdefault("roofline", {})
+        extra["roofline"]["xla_cost_model_gflops"] = round(flops / 1e9, 2)
+        extra["roofline"]["mxu_util_pct_of_bf16_peak"] = round(
+            100.0 * flops / best / V5E_PEAK_FLOPS, 2)
     print(json.dumps({
         "metric": metric,
         "value": round(best, 4),

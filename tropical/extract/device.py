@@ -61,6 +61,11 @@ OVF_X = 128  # invariant violation: a curved edge lies on no earlier plane
 OVF_B = 256  # tier-B (high-zero-count) expansion side buffer overflow
 OVF_F = 512  # faces-stage capacity (final verts / regions / triangles)
 OVF_Q = 1024  # curved-candidate compaction buffer (force=False path)
+
+# high-water vector of the most recent fused run (np.ndarray[16], see
+# State.hw) — diagnostics for tests/tools: [13:16] prove the curved-path
+# failover stages (no-root sentinels, GD rescue, strict filter) fired
+LAST_HW = None
 OVF_G = 2048  # faces-stage region polygon width (gcap)
 
 
@@ -109,12 +114,16 @@ class State(NamedTuple):
     nV: jax.Array       # i32 creation cursor
     nE: jax.Array       # i32 creation cursor
     overflow: jax.Array  # i32 bitmask of OVF_* flags
-    hw: jax.Array       # [13] i32 high-water marks: splits, hits, pairs,
+    hw: jax.Array       # [16] i32 high-water marks: splits, hits, pairs,
     #                     conns, nV, nE, tierB, then the faces stage's
     #                     final-verts/tierB/regions/triangles, then the
     #                     loop's curved-candidate count and the faces
     #                     stage's max region polygon size — lets the host
-    #                     re-derive tight caps
+    #                     re-derive tight caps.  [13:16] are curved-path
+    #                     stage meters (per-step maxima, diagnostics only):
+    #                     no-root/out-of-range sentinel rows, GD-rescued
+    #                     rows, strict-filter curved drops — observable
+    #                     evidence that those failover stages fired
     SB: jax.Array       # [NW, VCAP] u32 per-vertex sign words (out > 0)
     ZB: jax.Array       # [NW, VCAP] u32 per-vertex zero words (|out| <= eps)
     SZ: jax.Array       # [NW, VCAP] u32 per-vertex strict words (|out| < eps)
@@ -587,6 +596,10 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             GDC = max(QC // 4, 256)
             glanes, gval, n_gd = _compact_lanes(gd, GDC)
             ovf = ovf | jnp.where(n_gd > GDC, OVF_Q, 0)
+            # stage meters for hw[13:15]: sentinel rows (quartic returned no
+            # in-range root — incl. the bilinear-degenerate -1 sentinel,
+            # geometry.py:70-138) and GD-rescued rows this step
+            n_sent = (qval & gg_q).sum().astype(jnp.int32)
             ge0 = qe0[glanes]
             ge1 = ge0 + jnp.where(gval[:, None], (qe1 - qe0)[glanes], 0.0)
             g_inds = q_inds[glanes]
@@ -669,6 +682,9 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             # (the reference hard-exits there, subpoly.py:143-148)
             keep_cv = chk_ok & ~gg & (jnp.abs(d_new0) < eps) & has_plane
             keep_c = cval & jnp.where(curved_raw, keep_cv, chk_ok)
+            # hw[15] meter: curved candidates the strict filter dropped
+            n_strict_drop = (cval & curved_raw
+                             & ~keep_cv).sum().astype(jnp.int32)
 
         # survivors, compacted to the front of the append block
         rank2 = jnp.cumsum(keep_c.astype(jnp.int32)) - 1
@@ -1000,9 +1016,14 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # HE = 4*HCAP (hit-edge scan, pre-dedup) — recording only n_hit made
         # re-derived caps overflow on the next run
         hit_need = jnp.maximum(n_hit, -(-n_he_busy // 4))
-        hw = jnp.maximum(hw, jnp.stack([
-            n_split, hit_need, n_pairs, n_conn, nV2, nE3, n_b, z, z, z, z,
-            n_cv if not force else z, z]))
+        hw = jnp.maximum(hw, jnp.stack(
+            [n_split, hit_need, n_pairs, n_conn, nV2, nE3, n_b, z, z, z, z,
+             n_cv if not force else z, z, z, z, z]))
+        if not force:
+            # the curved stage meters [13:16] ACCUMULATE across steps (the
+            # capacity marks above are per-step maxima) so they are directly
+            # comparable to host-engine event totals
+            hw = hw.at[13:16].add(jnp.stack([n_sent, n_gd, n_strict_drop]))
         state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw,
                       SB, ZB, SZ, EB, LD, EZ0, EZ1)
         if prune and "prune" not in disable:
@@ -1189,7 +1210,7 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         aliveE0 = jnp.arange(ECAP, dtype=jnp.int32) < nE0
         hw0 = jnp.stack([jnp.int32(0)] * 4
                         + [jnp.int32(nV0), jnp.int32(nE0)]
-                        + [jnp.int32(0)] * 7)
+                        + [jnp.int32(0)] * 10)
         # one-time pack of the skeleton's static sign/zero words and the
         # per-edge split words / last-differ columns (the loop maintains
         # them incrementally at every vertex/edge creation site).  With an
@@ -1543,7 +1564,8 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                              jnp.stack([vc_, vb_, va_], axis=-1), 0)
 
         hwf = jnp.stack([jnp.int32(0)] * 7
-                        + [n_used, n_fb, n_rg, total_t, jnp.int32(0), gmax])
+                        + [n_used, n_fb, n_rg, total_t, jnp.int32(0), gmax]
+                        + [jnp.int32(0)] * 3)
         hw = jnp.maximum(hw, hwf)
         meta = jnp.concatenate([
             jnp.stack([n_used, n_ekeep, ovf, nV_pre, nE_live, total_t]), hw,
@@ -2112,6 +2134,7 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     Returns (faces [T,3,3], vertices [V,3], triangles [T,3]).  Retries with
     enlarged caps if any capacity overflowed.
     """
+    global LAST_HW
     import os
 
     from tropical.extract.faces import extract_faces
@@ -2154,7 +2177,8 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         # whatever the overflow-retry ramp landed on — every padded lane
         # costs real work each step
         (hws, hwh, hwp, hwc, hwv, hwe, hwb,
-         hwfv, hwfb, hwrg, hwt, hwcv, hwg) = (int(x) for x in np.asarray(hw))
+         hwfv, hwfb, hwrg, hwt, hwcv, hwg) = (
+            int(x) for x in np.asarray(hw)[:13])  # [13:16] are diagnostics
         # floor at one block: a degenerate run (e.g. an undertrained SDF
         # whose zero set barely enters the canvas) can record hws == 0, and
         # a persisted ccap=0 would poison every later net of the same spec
@@ -2359,8 +2383,9 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                 break
             m = np.asarray(meta)
             nV, nE, ovf, nV_pre, nE_pre, n_tris = (int(x) for x in m[:6])
-            hw = m[6:19]
-            sk = (int(m[19]), int(m[20])) if m.size >= 21 else None
+            hw = m[6:22]
+            LAST_HW = hw.copy()
+            sk = (int(m[22]), int(m[23])) if m.size >= 24 else None
             if ovf & OVF_X:
                 raise RuntimeError(
                     "curved split edge lies on no earlier plane (reference "
@@ -2464,7 +2489,8 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
         _start_host_copy(meta)
         m = np.asarray(meta)
         nV, nE, ovf, nV_pre, nE_pre, _ = (int(x) for x in m[:6])
-        hw = m[6:19]
+        hw = m[6:22]
+        LAST_HW = hw.copy()
         ovf = ovf | ovf_s
         if ovf & OVF_X:
             # invariant violation, not a capacity problem: a curved split

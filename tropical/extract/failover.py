@@ -13,6 +13,17 @@ import numpy as np
 
 from tropical.core.ext import nonzero_last  # noqa: F401 (re-export)
 
+# event totals of the most recent host-engine extraction (reset by
+# ``subpoly``): curved rows with no in-range trilinear root (sentinels),
+# rows the projected-GD rescue optimized, and curved rows the strict filter
+# dropped.  Directly comparable to the device engine's LAST_HW[13:16].
+COUNTERS = {"sentinels": 0, "gd_rows": 0, "strict_drops": 0}
+
+
+def reset_counters() -> None:
+    for k in COUNTERS:
+        COUNTERS[k] = 0
+
 
 def check_new_vertices_on_two_planes(edges_m, _regions, _offset, l, h, c, idx,
                                      verbose: bool = True) -> int:
@@ -108,6 +119,8 @@ def gradient_descent_failover(net, e_c: np.ndarray, ints: np.ndarray,
     from tropical.core.net import net_outputs
 
     gd = (~gg) & ((np.abs(d_new) > eps).any(axis=-1))
+    COUNTERS["sentinels"] += int(gg.sum())
+    COUNTERS["gd_rows"] += int(gd.sum())
     if not gd.any():
         return ints, d_new
 
@@ -207,6 +220,7 @@ def strict_check(c: np.ndarray, d_new: np.ndarray, eps: float, idx: int,
             g[c] = (np.abs(chk[c]) < eps) & ~gg
             if g1 is not None:
                 g[c] &= g1
+            COUNTERS["strict_drops"] += int((~g[c]).sum())
 
         m = m.copy()
         m[m] = g

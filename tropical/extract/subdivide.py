@@ -256,6 +256,7 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
             if verbose:
                 print(f"\n[extract] {e}; host-engine fallback")
 
+    fo.reset_counters()
     with PHASES("skeleton"):
         vertices, edges = grid_skeleton(net)
     if edges.shape[0] == 0:
