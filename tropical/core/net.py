@@ -114,6 +114,21 @@ def net_outputs_lattice(spec: NetSpec, params, xw, yw, zw, tables=None):
                                gather=True, eps=spec.eps)[1]
 
 
+def net_sdf_lattice(spec: NetSpec, params, xw, yw, zw, tables=None):
+    """SDF over the separable world-coordinate lattice {xw} x {yw} x {zw} ->
+    [Nx*Ny*Nz] f32, x-major point order — equal (to f32 rounding; the
+    factored interpolation associates differently) to ``net_sdf`` over the
+    meshgrid, but gather-free on dense hash-grid levels via
+    :func:`tropical.core.hashgrid.encode_lattice`.  The MC/MT eval ladder's
+    grid sweeps are exactly such lattices (reference train.py:276-283
+    evaluates them pointwise on GPU)."""
+    feats = encode_lattice(spec.grid, params["table"],
+                           preprocess(spec, xw), preprocess(spec, yw),
+                           preprocess(spec, zw), tables=tables)
+    out, _ = mlp_mod.mlp_forward(params["mlp"], feats.astype(jnp.float32))
+    return jnp.tanh(out[:, 1] - out[:, 0])
+
+
 def net_region(spec: NetSpec, params, marks, x, output=None, eps: float | None = None):
     """Ternary region indicator (Def. 3.4) + grid mask/offset.
 

@@ -273,7 +273,16 @@ def run_marching_cubes(net, res: int, canvas: float, R: float = 1.0,
             print(f"[mc res={res}] {msg} t={time.time():.1f}",
                   file=sys.stderr, flush=True)
 
-    sparse = jax.default_backend() != "cpu"
+    # engine routing: "device" fuses forward+topology into one dispatch per
+    # slab and pulls only compacted buffers (accelerator default);
+    # "sparse" = packed signs + host topology; "host" = dense-vals topology
+    engine = os.environ.get("TROPICAL_MC_ENGINE", "")
+    if engine == "device" or (jax.default_backend() != "cpu"
+                              and engine not in ("sparse", "host")):
+        from tropical.utils.mc_device import run_marching_cubes_device
+        return run_marching_cubes_device(net, res, canvas, R, note=note)
+
+    sparse = jax.default_backend() != "cpu" and engine != "host"
     s = np.linspace(-canvas, canvas, res, dtype=np.float32)
     all_verts, all_tris = [], []
     for x0 in range(0, res - 1, slab):
