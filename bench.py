@@ -45,7 +45,7 @@ CONFIGS = [
     ("sphere_medium_extraction_time", "medium", True, None,
      "sqrt(0.87*1.59)=1.18s interpolated bunny small/large (no published medium)", 3),
     ("sphere_large_extraction_time", "large", True, 1.59,
-     "bunny-large run_large.log:12", 2),
+     "bunny-large run_large.log:12", 3),
     ("sphere_small_curved_extraction_time", "small", False, 3.39,
      "lucy-small (force=False) run_small.log:137", 3),
     ("sphere_small_extraction_time", "small", True, 0.87,

@@ -112,3 +112,24 @@ def test_gd_failover_pow2_padding_is_inert(trained_net, n_rows):
         np.testing.assert_allclose(out_i[r], out_i[0], rtol=0, atol=0)
         np.testing.assert_allclose(out_d[r], out_d[0], rtol=0, atol=0)
     assert np.isfinite(out_i).all() and np.isfinite(out_d).all()
+
+
+def test_check_new_vertices_on_surface_counts(capsys):
+    """Diagnostic counterpart of reference subpoly_debug.py:168-231: counts
+    in-range rows still off-surface, prints the worst row, never exits."""
+    import numpy as np
+
+    from tropical.extract import failover as fo
+
+    ints = np.array([[0.5, 0.5, 0.5], [0.2, 0.2, 0.2], [2.0, 0.0, 0.0]],
+                    np.float32)
+    d_new = np.array([[1e-6, 1e-6], [3e-3, 1e-5], [0.5, 0.5]], np.float32)
+    gg = np.array([False, False, True])
+    e_c = np.zeros((3, 2, 3), np.float32)
+    bad = fo.check_new_vertices_on_surface(ints, d_new, gg, 1e-4, 1, 2,
+                                           e_c=e_c)
+    assert bad == 1
+    out = capsys.readouterr().out
+    assert "near-zeros" in out and "test_idx: 1" in out
+    assert fo.check_new_vertices_on_surface(
+        ints[:1], d_new[:1], gg[:1], 1e-4, 1, 2) == 0

@@ -182,6 +182,44 @@ def gradient_descent_failover(net, e_c: np.ndarray, ints: np.ndarray,
     return ints, d_new
 
 
+def check_new_vertices_on_surface(ints: np.ndarray, d_new: np.ndarray,
+                                  gg: np.ndarray, eps: float, l: int, h: int,
+                                  e_c: np.ndarray | None = None,
+                                  verbose: bool = True) -> int:
+    """Diagnostic: report curved intersections whose residuals exceed eps
+    AFTER the GD rescue (reference subpoly_debug.py:168-196 — upstream it
+    prints the offending rows and hard-exits through ``debug_test_idx``;
+    here it reports and returns the count so runs keep going; the strict
+    filter downstream drops these rows anyway).
+
+    Returns the number of off-surface rows among the in-range (~gg) ones.
+    """
+    res = np.abs(d_new[~gg])
+    bad = int((res > eps).any(-1).sum()) if res.size else 0
+    if bad and verbose:
+        worst = int(res.max(-1).argmax())
+        print(f"check if the below ints. d to be near-zeros "
+              f"({res.max()} > {eps}) at {l}/{h}: {bad} rows")
+        debug_report_idx(worst, ints[~gg], d_new[~gg],
+                         e_c[~gg] if e_c is not None else None)
+    return bad
+
+
+def debug_report_idx(test_idx: int, ints: np.ndarray, d_new: np.ndarray,
+                     e_c: np.ndarray | None = None) -> None:
+    """Print one offending curved row's state (reference
+    subpoly_debug.py:199-231, without the ``exit()`` — the upstream helper
+    is additionally dead/mis-wired: its call passes arguments in an order
+    that does not match its own signature)."""
+    print("-------------------------------------------")
+    print(f"test_idx: {test_idx}")
+    print("local intersection coords:", ints[test_idx])
+    print("residuals (d0, d1):", d_new[test_idx])
+    if e_c is not None:
+        print("edge endpoints:", e_c[test_idx])
+    print("-------------------------------------------")
+
+
 def strict_check(c: np.ndarray, d_new: np.ndarray, eps: float, idx: int,
                  ints: np.ndarray, m: np.ndarray, m_rgn: np.ndarray,
                  m_rgn_: np.ndarray, offset: np.ndarray,

@@ -14,6 +14,7 @@ kernels of :mod:`tropical.core.net` / :mod:`tropical.core.trilinear`.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Tuple
 
@@ -131,6 +132,12 @@ def subpoly_(vertices: np.ndarray, edges: np.ndarray, net, l: int, h: int,
         gg = ((ints < 0) | (ints > 1)).any(axis=-1)
         ints, d_new = fo.gradient_descent_failover(
             net, e[c], ints, d_new, gg, inds[:, 1], idx, eps)
+        if os.environ.get("TROPICAL_DEBUG"):
+            # diagnostic only (reference subpoly_debug.py:168-231): report
+            # rows still off-surface after the rescue; strict_check below
+            # drops them from the complex either way
+            fo.check_new_vertices_on_surface(ints, d_new, gg, eps, l, h,
+                                             e_c=e[c])
     else:
         ints = np.zeros((0, 3), np.float32)
         d_new = np.zeros((1, 2), np.float32)
