@@ -86,9 +86,13 @@ def _topology(vals, cmin, ecap: int, ccap: int, tcap: int):
     codef = code.reshape(-1)
     cpos = jnp.arange(ncubes, dtype=jnp.int32)
     ci_full = cpos // ((res - 1) * (res - 1))
-    act = (jnp.take(NT, codef, mode="clip") > 0) & (ci_full >= cmin)
+    ntf = jnp.take(NT, codef, mode="clip")
+    act = (ntf > 0) & (ci_full >= cmin)
     acnt = jnp.cumsum(act.astype(jnp.int32))
     n_a = acnt[-1]
+    # TRUE triangle total (independent of the cube compaction capacity, so
+    # one overflow retry sizes every cap correctly)
+    n_t_true = jnp.where(act, ntf, 0).sum()
     arank = acnt - 1
     scat = jnp.where(act & (arank < ccap), arank, ccap)
     ccode = jnp.zeros(ccap, jnp.int32).at[scat].set(codef, mode="drop")
@@ -119,8 +123,8 @@ def _topology(vals, cmin, ecap: int, ccap: int, tcap: int):
         eind.reshape(-1, 3), mode="drop")
 
     ovf = jnp.where(n_e > ecap, 1, 0) | jnp.where(n_a > ccap, 2, 0) \
-        | jnp.where(n_t > tcap, 4, 0)
-    meta = jnp.stack([n_e, n_t, ovf, n_a])
+        | jnp.where(n_t_true > tcap, 4, 0)
+    meta = jnp.stack([n_e, n_t_true, ovf, n_a])
     return meta, keys, va, vb, tris
 
 
@@ -188,7 +192,12 @@ def mc_slabs_device(net, res: int, canvas: float, max_pts: int = 1 << 23,
     nxs = _slab_width(res, max_pts)
     tables = tuple(lattice_tables(spec.grid, net.params["table"],
                                   nxs * res * res))
-    ecap = ecap0 or _pow2(max(1 << 13, 2 * res * res))
+    # crossing edges scale with the surface area inside the slab: ~2-3.5x
+    # res^2 for a whole-grid slab (observed 52k at 128^3 sphere), well under
+    # 2x res^2 per 32-wide slab at 512 — generous caps cost only output
+    # buffer memory, while an overflow retry costs a fresh remote compile
+    ecap = ecap0 or _pow2(max(1 << 13,
+                              (6 if nxs == res else 2) * res * res))
     ccap, tcap = ecap, 2 * ecap
 
     x0 = 0
