@@ -223,11 +223,18 @@ def mc_slabs_device(net, res: int, canvas: float, max_pts: int = 1 << 23,
             note(f"slab {x0} caps overflow {ovf}; -> {ecap}/{ccap}/{tcap}")
         else:
             raise RuntimeError("mc_device: caps overflow after retries")
-        yield (x0,
-               _pull_compact(keys, n_e, ecap),
-               _pull_compact(va, n_e, ecap),
-               _pull_compact(vb, n_e, ecap),
-               _pull_compact(tris, n_t, tcap))
+        if n_t == 0:
+            # nothing referenced: skip the edge pulls entirely (an overlapped
+            # final slab still compacts the covered layers' crossings)
+            empty = np.empty(0, np.float32)
+            yield (x0, np.empty(0, np.int32), empty, empty,
+                   np.empty((0, 3), np.int32))
+        else:
+            yield (x0,
+                   _pull_compact(keys, n_e, ecap),
+                   _pull_compact(va, n_e, ecap),
+                   _pull_compact(vb, n_e, ecap),
+                   _pull_compact(tris, n_t, tcap))
         note(f"slab {x0} done ({n_e} edges, {n_t} tris)")
         x0 += nxs - 1
 
