@@ -192,19 +192,35 @@ def _corner_table(spec: HashGridSpec, params: jax.Array, l: int) -> jax.Array:
                     mode="clip").reshape(K, K, K, spec.features)
 
 
+_LATTICE_TABLES_JIT = {}
+
+
 def lattice_tables(spec: HashGridSpec, params: jax.Array, n_points: int):
     """Corner-value grids for every level the factored lattice encode will
     take at a total lattice of ``n_points`` (None where pointwise wins).
     Compute ONCE outside any slab loop and pass to :func:`encode_lattice` —
-    the grids depend only on params."""
-    tabs = []
-    for l in range(spec.levels):
-        K = _corner_bins(spec, l)
-        if K ** 3 > 8 * n_points or K ** 3 * spec.features * 4 > 2 ** 29:
-            tabs.append(None)
-        else:
-            tabs.append(_corner_table(spec, params, l))
-    return tabs
+    the grids depend only on params.
+
+    The gathering runs as ONE jitted program per (spec, level set): eager
+    per-op execution paid a compile+RTT per tiny index op on the tunneled
+    TPU — measured 27 s per eval-ladder sweep before the 20 s of actual
+    slab work (inside a jit trace this function is equally fine to call)."""
+    take = tuple(
+        l for l in range(spec.levels)
+        if not (_corner_bins(spec, l) ** 3 > 8 * n_points
+                or _corner_bins(spec, l) ** 3 * spec.features * 4 > 2 ** 29))
+    tracing = isinstance(params, jax.core.Tracer)
+    key = (spec, take)
+    fn = None if tracing else _LATTICE_TABLES_JIT.get(key)
+    if fn is None:
+        def gather(p):
+            return tuple(_corner_table(spec, p, l) for l in take)
+
+        fn = gather if tracing else jax.jit(gather)
+        if not tracing:
+            _LATTICE_TABLES_JIT[key] = fn
+    got = iter(fn(params))
+    return [next(got) if l in take else None for l in range(spec.levels)]
 
 
 def encode_lattice(spec: HashGridSpec, params: jax.Array, xs: jax.Array,
