@@ -423,7 +423,8 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                       max(_round_up(HB_BIG // 8, 256), 256),
                       min(max(_round_up(QC_BIG // 8, 1024), 1024), CCAP_S))
 
-    def step(params, marks, lut, state: State, idx, prune: bool) -> State:
+    def step(params, marks, lut, state: State, idx, prune: bool,
+             final: bool = False) -> State:
         """One insertion.  Steps whose plane splits no edge return unchanged
         (reference subpoly.py:110-111) — in practice ~2/3 of all steps — via
         lax.cond.  The split probe is a bit test on the per-edge split words
@@ -455,9 +456,12 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             h0 = bitcol(EZ0)
             h1 = bitcol(EZ1)
 
-            if not two_tier:
+            if final or not two_tier:
+                # the final insertion is the peak step: always big tier, and
+                # `final` prunes the word-store maintenance no later step
+                # will ever read (see _busy_step)
                 return _busy_step(params, marks, lut, TIER_BIG, st, idx,
-                                  prune, split_col, h0, h1)
+                                  prune, split_col, h0, h1, final)
 
             # tier selection runs only on busy steps (the count reductions
             # cost real passes over the edge pool; idle steps skip them)
@@ -487,7 +491,14 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         return jax.lax.cond(has_split, dispatch, lambda st: st, state)
 
     def _busy_step(params, marks, lut, tier, state: State, idx,
-                   prune: bool, split, h0, h1) -> State:
+                   prune: bool, split, h0, h1, final: bool = False) -> State:
+        # ``final=True`` (static): this is the last insertion — the per-edge
+        # word stores (EB split bits, LD last-differ, EZ0/EZ1 hit bits) and
+        # the per-vertex SZ strict words exist solely to feed LATER steps'
+        # probes, so every gather/update that maintains them is dead work
+        # here (~10 pool-wide word gathers + update slices at large caps).
+        # V/OUT/E/aliveE/SB/ZB and all counts are maintained identically —
+        # the epilogue and funnel see bit-identical state.
         # per-tier candidate capacities: late insertions split a fraction of
         # the peak step's edges, so a small-tier pipeline (1/8 buffers) runs
         # most busy steps at a fraction of the gather/sort cost; the
@@ -703,10 +714,12 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         sb_pre, zb_pre, sz_pre = _pack_out_words(cand_out, eps)  # [NW, CCAP]
         sb_s = jnp.where(sval[None, :], _gather_words(sb_pre, slanes), 0)
         zb_s = jnp.where(sval[None, :], _gather_words(zb_pre, slanes), 0)
-        sz_s = jnp.where(sval[None, :], _gather_words(sz_pre, slanes), 0)
         SB = jax.lax.dynamic_update_slice(SB, sb_s, (0, start_v))
         ZB = jax.lax.dynamic_update_slice(ZB, zb_s, (0, start_v))
-        SZ = jax.lax.dynamic_update_slice(SZ, sz_s, (0, start_v))
+        if not final:
+            sz_s = jnp.where(sval[None, :],
+                             _gather_words(sz_pre, slanes), 0)
+            SZ = jax.lax.dynamic_update_slice(SZ, sz_s, (0, start_v))
         # aliveV is not maintained per step: liveness is implied by aliveE
         # (the hit scan walks edges); the epilogue recomputes it once
 
@@ -738,27 +751,28 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         # rewritten edges (a, new): update their static split words in place
         # (slot space: slot s rewrites lane lanes[s] iff its candidate
         # survived; a = ce0[s], new vertex words = the slot-space pack)
-        rw_p_sb = _gather_words(SB, ce0)
-        rw_p_zb = _gather_words(ZB, ce0)
-        rw_p_sz = _gather_words(SZ, ce0)
-        eb_rw, ld_rw = _edge_bits(rw_p_sb, rw_p_zb, sb_pre, zb_pre)
-        rw_tgt = jnp.where(cval & keep_c, lanes, ECAP)
-        EB = jnp.stack([EB[w].at[rw_tgt].set(eb_rw[w], mode="drop")
-                        for w in range(NW)])
-        LD = LD.at[rw_tgt].set(ld_rw, mode="drop")
-        EZ0 = jnp.stack([EZ0[w].at[rw_tgt].set(rw_p_sz[w], mode="drop")
-                         for w in range(NW)])
-        EZ1 = jnp.stack([EZ1[w].at[rw_tgt].set(sz_pre[w], mode="drop")
-                         for w in range(NW)])
+        if not final:
+            rw_p_sb = _gather_words(SB, ce0)
+            rw_p_zb = _gather_words(ZB, ce0)
+            rw_p_sz = _gather_words(SZ, ce0)
+            eb_rw, ld_rw = _edge_bits(rw_p_sb, rw_p_zb, sb_pre, zb_pre)
+            rw_tgt = jnp.where(cval & keep_c, lanes, ECAP)
+            EB = jnp.stack([EB[w].at[rw_tgt].set(eb_rw[w], mode="drop")
+                            for w in range(NW)])
+            LD = LD.at[rw_tgt].set(ld_rw, mode="drop")
+            EZ0 = jnp.stack([EZ0[w].at[rw_tgt].set(rw_p_sz[w], mode="drop")
+                             for w in range(NW)])
+            EZ1 = jnp.stack([EZ1[w].at[rw_tgt].set(sz_pre[w], mode="drop")
+                             for w in range(NW)])
 
         ra = jnp.where(sval, old_second[slanes], 0)
         rb = nV + jnp.arange(CCAP, dtype=jnp.int32)
-        # appended edges (old second endpoint, new vertex), survivor space
-        ap_p_sb = _gather_words(SB, ra)
-        ap_p_zb = _gather_words(ZB, ra)
-        ap_p_sz = _gather_words(SZ, ra)
-        eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
         if prefilter:
+            # appended edges (old second endpoint, new vertex): the
+            # pre-filter needs their last-differ columns
+            ap_p_sb = _gather_words(SB, ra)
+            ap_p_zb = _gather_words(ZB, ra)
+            eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
             keep_r = sval & (ld_ap >= idx)
             rlanes, rval, n_eapp = _compact_lanes(keep_r, CCAP)
         else:
@@ -770,16 +784,24 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         ovf = ovf | jnp.where(nE + n_eapp > ECAP - CCAP, OVF_E, 0)
         E = jax.lax.dynamic_update_slice(E, e_app, (start_e, 0))
         aliveE = jax.lax.dynamic_update_slice(aliveE, rval, (start_e,))
-        eb_blk = jnp.where(rval[None, :], _gather_words(eb_ap, rlanes), 0)
-        ld_blk = jnp.where(rval, ld_ap[rlanes], -1)
-        EB = jax.lax.dynamic_update_slice(EB, eb_blk, (0, start_e))
-        LD = jax.lax.dynamic_update_slice(LD, ld_blk, (start_e,))
-        EZ0 = jax.lax.dynamic_update_slice(
-            EZ0, jnp.where(rval[None, :], _gather_words(ap_p_sz, rlanes), 0),
-            (0, start_e))
-        EZ1 = jax.lax.dynamic_update_slice(
-            EZ1, jnp.where(rval[None, :], _gather_words(sz_s, rlanes), 0),
-            (0, start_e))
+        if not final:
+            if not prefilter:
+                ap_p_sb = _gather_words(SB, ra)
+                ap_p_zb = _gather_words(ZB, ra)
+                eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
+            ap_p_sz = _gather_words(SZ, ra)
+            eb_blk = jnp.where(rval[None, :], _gather_words(eb_ap, rlanes), 0)
+            ld_blk = jnp.where(rval, ld_ap[rlanes], -1)
+            EB = jax.lax.dynamic_update_slice(EB, eb_blk, (0, start_e))
+            LD = jax.lax.dynamic_update_slice(LD, ld_blk, (start_e,))
+            EZ0 = jax.lax.dynamic_update_slice(
+                EZ0, jnp.where(rval[None, :],
+                               _gather_words(ap_p_sz, rlanes), 0),
+                (0, start_e))
+            EZ1 = jax.lax.dynamic_update_slice(
+                EZ1, jnp.where(rval[None, :],
+                               _gather_words(sz_s, rlanes), 0),
+                (0, start_e))
         nE2 = nE + n_eapp
         nV2 = nV + n_new
 
@@ -992,23 +1014,26 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         ovf = ovf | jnp.where(nE2 + n_conn > ECAP - CONNCAP, OVF_E, 0)
         E = jax.lax.dynamic_update_slice(E, c_app, (start_e2, 0))
         aliveE = jax.lax.dynamic_update_slice(aliveE, uval, (start_e2,))
-        # connecting edges' static split words (endpoints are all written to
-        # the word store by now: new vertices in stage 6, hits are old)
-        cn_p_sb = _gather_words(SB, c_app[:, 0])
-        cn_p_zb = _gather_words(ZB, c_app[:, 0])
-        cn_q_sb = _gather_words(SB, c_app[:, 1])
-        cn_q_zb = _gather_words(ZB, c_app[:, 1])
-        eb_cn, ld_cn = _edge_bits(cn_p_sb, cn_p_zb, cn_q_sb, cn_q_zb)
-        EB = jax.lax.dynamic_update_slice(
-            EB, jnp.where(uval[None, :], eb_cn, 0), (0, start_e2))
-        LD = jax.lax.dynamic_update_slice(
-            LD, jnp.where(uval, ld_cn, -1), (start_e2,))
-        EZ0 = jax.lax.dynamic_update_slice(
-            EZ0, jnp.where(uval[None, :],
-                           _gather_words(SZ, c_app[:, 0]), 0), (0, start_e2))
-        EZ1 = jax.lax.dynamic_update_slice(
-            EZ1, jnp.where(uval[None, :],
-                           _gather_words(SZ, c_app[:, 1]), 0), (0, start_e2))
+        if not final:
+            # connecting edges' static split words (endpoints are all written
+            # to the word store by now: new vertices in stage 6, hits old)
+            cn_p_sb = _gather_words(SB, c_app[:, 0])
+            cn_p_zb = _gather_words(ZB, c_app[:, 0])
+            cn_q_sb = _gather_words(SB, c_app[:, 1])
+            cn_q_zb = _gather_words(ZB, c_app[:, 1])
+            eb_cn, ld_cn = _edge_bits(cn_p_sb, cn_p_zb, cn_q_sb, cn_q_zb)
+            EB = jax.lax.dynamic_update_slice(
+                EB, jnp.where(uval[None, :], eb_cn, 0), (0, start_e2))
+            LD = jax.lax.dynamic_update_slice(
+                LD, jnp.where(uval, ld_cn, -1), (start_e2,))
+            EZ0 = jax.lax.dynamic_update_slice(
+                EZ0, jnp.where(uval[None, :],
+                               _gather_words(SZ, c_app[:, 0]), 0),
+                (0, start_e2))
+            EZ1 = jax.lax.dynamic_update_slice(
+                EZ1, jnp.where(uval[None, :],
+                               _gather_words(SZ, c_app[:, 1]), 0),
+                (0, start_e2))
         nE3 = nE2 + n_conn
 
         z = jnp.int32(0)
@@ -1279,9 +1304,11 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         state = jax.lax.fori_loop(0, n_hidden_steps, body, state)
         if stop_before_final:
             return state
-        # final layer (h == num_hidden): no pruning (subpoly.py:67-69,253)
+        # final layer (h == num_hidden): no pruning (subpoly.py:67-69,253);
+        # final=True also skips the per-edge/per-vertex word-store
+        # maintenance no later step exists to read
         state = step(params, marks, lut, state, jnp.int32(n_hidden_steps),
-                     prune=False)
+                     prune=False, final=True)
 
         # extract_skeleton: |last col| < eps, inside [0,1]^D (subpoly.py:556-581)
         V, OUT, E, aliveV, aliveE, nV, nE, ovf, hw = state[:9]

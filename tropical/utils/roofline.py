@@ -152,7 +152,12 @@ def measure(fn: Callable, *args: Any, compiled=None) -> dict:
                 if hasattr(leaf, "ravel") and getattr(leaf, "size", 0) > 0:
                     np.asarray(leaf.ravel()[:1])
                     break
-        events = defaultdict(lambda: [0.0, 0])   # name -> [ms, count]
+        # the profiler emits several device lanes (XLA Ops, XLA Modules,
+        # step/TraceMe tracks) that all carry the same spans — summing
+        # across lanes double-counts (observed 4.2 s "device time" for a
+        # 1.6 s program).  Collect per (pid, tid) lane and keep the single
+        # lane with the most HLO-matched time.
+        lanes = defaultdict(lambda: defaultdict(lambda: [0.0, 0]))
         for f in glob.glob(os.path.join(tdir, "**/*.trace.json.gz"),
                            recursive=True):
             with gzip.open(f, "rt") as fh:
@@ -161,9 +166,20 @@ def measure(fn: Callable, *args: Any, compiled=None) -> dict:
             for ev in data.get("traceEvents", []):
                 if ev.get("ph") != "X" or ev.get("pid") not in pid_ok:
                     continue
-                e = events[ev.get("name", "").lstrip("%")]
+                e = lanes[(ev.get("pid"), ev.get("tid"))][
+                    ev.get("name", "").lstrip("%")]
                 e[0] += ev.get("dur", 0) / 1e3
                 e[1] += 1
+
+        # mirrored lanes carry identical per-name totals -> the per-name MAX
+        # across lanes dedupes them exactly (a genuinely thread-split CPU op
+        # is slightly undercounted, which only makes the estimate safer)
+        events = {}
+        for evs in lanes.values():
+            for name, (ms, cnt) in evs.items():
+                cur = events.get(name)
+                if cur is None or ms > cur[0]:
+                    events[name] = [ms, cnt]
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 
