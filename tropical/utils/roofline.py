@@ -192,9 +192,12 @@ def measure(fn: Callable, *args: Any, compiled=None) -> dict:
             unmatched_ms += ms
             continue
         out_b, in_b, opcode, src, _ = info
-        matched_ms += ms
         if opcode in _SKIP_TRAFFIC:
+            # control-flow spans ENCLOSE their body's op events on the same
+            # lane — counting them double-counts the leaves (a 1.6 s program
+            # read 3.8 s); parameters/tuples are bookkeeping
             continue
+        matched_ms += ms
         b = (out_b + in_b) * cnt
         total_bytes += b
         rows.append((ms, opcode, src, b))
