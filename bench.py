@@ -161,11 +161,13 @@ def run_config(metric, size, force, baseline_s, note, timed_runs):
 
     net = get_net(size)
 
-    # warm-up twice: the first call sizes the caps (standalone-skeleton ramp
-    # path) and compiles the loop; the second compiles the fused
-    # skeleton+loop+faces program from the memoized tight caps
-    subpoly(net, 3, 1.2, force=force, verbose=False)
-    subpoly(net, 3, 1.2, force=force, verbose=False)
+    # warm-up three times: the first call sizes the caps (standalone-skeleton
+    # ramp path) and compiles the loop; the second compiles the fused
+    # skeleton+loop+faces program from the memoized tight caps; the third
+    # settles the runtime (the first post-compile dispatch is consistently
+    # the slowest — recorded runs_s were still descending at 2 warm-ups)
+    for _ in range(3):
+        subpoly(net, 3, 1.2, force=force, verbose=False)
 
     times = []
     n_verts = n_tris = 0
