@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from tropical.ops.chamfer_pallas import min_nn_distance as fast
+from tropical.ops.chamfer_tpu import min_nn_distance as fast
 from tropical.utils.chamfer import min_nn_distance_scan
 
 

@@ -47,10 +47,10 @@ def _pad_pts(x: np.ndarray, chunk: int) -> np.ndarray:
 def min_nn_distance(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """For each point in x, the distance to its nearest neighbour in y.
 
-    Uses the MXU matmul formulation (tropical/ops/chamfer_pallas.py); the
+    Uses the MXU matmul formulation (tropical/ops/chamfer_tpu.py); the
     broadcast-difference scan below is kept as the reference implementation
     for tests."""
-    from tropical.ops.chamfer_pallas import min_nn_distance as fast
+    from tropical.ops.chamfer_tpu import min_nn_distance as fast
 
     return fast(x, y)
 
