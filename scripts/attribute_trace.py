@@ -163,6 +163,24 @@ def main():
     for stage, ms in sorted(per_stage.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{ms:9.1f} ms  {stage}")
 
+    # named-scope rollup: the busy-step pipeline annotates its stages
+    # (s2_compact .. s12_conndedup, prune_compact) with jax.named_scope —
+    # aggregate self-time per stage tag AND per control context (while-loop
+    # body vs the final big-tier insertion), the split that decides where a
+    # pair-tier or prefix-tier change pays
+    scope_re = re.compile(r"(s\d+_\w+|prune_compact)")
+    per_scope = defaultdict(float)
+    for ms, _name, _opcode, _src, op_name in rows:
+        m = scope_re.search(op_name)
+        if not m:
+            continue
+        ctx = "loop" if "/while/" in op_name else "final"
+        per_scope[f"{m.group(1)} [{ctx}]"] += ms
+    if per_scope:
+        print("\n== busy-step named scopes (loop vs final insertion) ==")
+        for scope, ms in sorted(per_scope.items(), key=lambda kv: -kv[1]):
+            print(f"{ms:9.1f} ms  {scope}")
+
     if csv_path:
         import csv
 
