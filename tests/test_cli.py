@@ -17,6 +17,11 @@ def test_train_cli_end_to_end(tmp_cwd, monkeypatch):
     import tropical.stanford.train as train_mod
     from tropical.stanford.dataset import StanfordDataset
 
+    # route the eval ladder through the fused device-MC engine (the
+    # accelerator default) so the CLI exercises it end-to-end; the host
+    # paths stay covered by test_marching_cubes / test_mc_device
+    monkeypatch.setenv("TROPICAL_MC_ENGINE", "device")
+
     # shrink the workload: tiny dataset + tiny eval resolutions
     orig_init = StanfordDataset.__init__
 
