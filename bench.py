@@ -40,10 +40,20 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 V5E_PEAK_FLOPS = 197e12   # bf16 MXU peak (f32 work runs below this ceiling)
 V5E_PEAK_HBM_BPS = 819e9  # HBM bandwidth
 
+# per-vertex rate of the only published force=False run: lucy-small extracts
+# 2388 mesh vertices in 3.39 s (run_small.log:135-137) => ~704 verts/s on the
+# reference GPU.  Curved configs with no published counterpart at their scale
+# use `"lucy_pv"` as baseline_s: baseline = our mesh_vertices / LUCY_VPS,
+# i.e. "what the reference GPU's curved path would take at this mesh size".
+LUCY_VPS = 2388 / 3.39
+
 # (metric, size, force, baseline_s, baseline_note, timed_runs)
 CONFIGS = [
     ("sphere_medium_extraction_time", "medium", True, None,
      "sqrt(0.87*1.59)=1.18s interpolated bunny small/large (no published medium)", 3),
+    ("sphere_medium_curved_extraction_time", "medium", False, "lucy_pv",
+     "lucy-small per-vertex rate (704 v/s, run_small.log:137) x our mesh size"
+     " — no published medium force=False run", 3),
     ("sphere_large_extraction_time", "large", True, 1.59,
      "bunny-large run_large.log:12", 3),
     ("sphere_small_curved_extraction_time", "small", False, 3.39,
@@ -156,7 +166,24 @@ def device_program_time(net, force):
         return None
 
 
-def run_config(metric, size, force, baseline_s, note, timed_runs):
+_DEVICE_HEALTH = None  # canary run once at suite start, stamped per metric
+
+
+def device_health():
+    """Device-health canary (tropical/utils/canary.py): a pinned 1M-row
+    sort+gather program timed against its committed reference value.  Run
+    once at suite start; every metric's extra carries the result so the
+    recorded wall-clocks are interpretable — a `healthy: false` bench is
+    flagged as device-state variance, not a code regression."""
+    global _DEVICE_HEALTH
+    if _DEVICE_HEALTH is None:
+        from tropical.utils.canary import run_canary
+        _DEVICE_HEALTH = run_canary()
+    return _DEVICE_HEALTH
+
+
+def run_config(metric, size, force, baseline_s, note, timed_runs,
+               canary_after=False):
     from tropical.extract.subdivide import subpoly
 
     net = get_net(size)
@@ -178,7 +205,12 @@ def run_config(metric, size, force, baseline_s, note, timed_runs):
         n_verts, n_tris = vertices.shape[0], tris.shape[0]
 
     best = min(times)
-    base = baseline_s if baseline_s is not None else (0.87 * 1.59) ** 0.5
+    if baseline_s == "lucy_pv":
+        base = n_verts / LUCY_VPS
+    elif baseline_s is not None:
+        base = baseline_s
+    else:
+        base = (0.87 * 1.59) ** 0.5
     extra = {
         "mesh_vertices": int(n_verts),
         "mesh_triangles": int(n_tris),
@@ -202,6 +234,12 @@ def run_config(metric, size, force, baseline_s, note, timed_runs):
         extra["roofline"]["xla_cost_model_gflops"] = round(flops / 1e9, 2)
         extra["roofline"]["mxu_util_pct_of_bf16_peak"] = round(
             100.0 * flops / best / V5E_PEAK_FLOPS, 2)
+    extra["device_health"] = device_health()
+    if canary_after:
+        # re-measure on the LAST config so the suite is bracketed: a chip
+        # that degraded mid-suite shows up as before/after disagreement
+        from tropical.utils.canary import run_canary
+        extra["device_health_after"] = run_canary()
     print(json.dumps({
         "metric": metric,
         "value": round(best, 4),
@@ -264,6 +302,14 @@ def run_training_bench():
 
 def main():
     only = os.environ.get("TROPICAL_BENCH_ONLY")  # e.g. "small,large"
+    # canary FIRST: stamp device health before any extraction work, so the
+    # recorded numbers carry their own credibility evidence
+    try:
+        import sys
+        print(f"device_health: {json.dumps(device_health())}",
+              file=sys.stderr, flush=True)
+    except Exception:
+        pass
     if not only or "train" in only.split(","):
         try:
             run_training_bench()
@@ -272,11 +318,12 @@ def main():
             import traceback
             print(f"bench config training failed: {e!r}", file=sys.stderr)
             traceback.print_exc()
-    for metric, size, force, baseline_s, note, runs in CONFIGS:
-        if only and size not in only.split(","):
-            continue
+    live = [c for c in CONFIGS
+            if not only or c[1] in only.split(",")]
+    for i, (metric, size, force, baseline_s, note, runs) in enumerate(live):
         try:
-            run_config(metric, size, force, baseline_s, note, runs)
+            run_config(metric, size, force, baseline_s, note, runs,
+                       canary_after=(i + 1 == len(live)))
         except Exception as e:  # pragma: no cover - device-state failures
             # never let one config (e.g. a caps re-ramp hitting a degraded
             # TPU worker) abort the suite before the flagship small config

@@ -192,7 +192,11 @@ def _corner_table(spec: HashGridSpec, params: jax.Array, l: int) -> jax.Array:
                     mode="clip").reshape(K, K, K, spec.features)
 
 
+# jitted corner-grid gathers, keyed by (spec, level set); bounded — each
+# entry pins a compiled executable alive, so evict FIFO past a small cap
+# (round-4 advisor finding: the unbounded dict grew per distinct spec)
 _LATTICE_TABLES_JIT = {}
+_LATTICE_TABLES_MAX = 16
 
 
 def lattice_tables(spec: HashGridSpec, params: jax.Array, n_points: int):
@@ -218,6 +222,8 @@ def lattice_tables(spec: HashGridSpec, params: jax.Array, n_points: int):
 
         fn = gather if tracing else jax.jit(gather)
         if not tracing:
+            while len(_LATTICE_TABLES_JIT) >= _LATTICE_TABLES_MAX:
+                _LATTICE_TABLES_JIT.pop(next(iter(_LATTICE_TABLES_JIT)))
             _LATTICE_TABLES_JIT[key] = fn
     got = iter(fn(params))
     return [next(got) if l in take else None for l in range(spec.levels)]

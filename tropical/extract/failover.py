@@ -95,57 +95,33 @@ def sign_override(edges_m: np.ndarray, _regions: np.ndarray, _offset: np.ndarray
     return False
 
 
-def gradient_descent_failover(net, e_c: np.ndarray, ints: np.ndarray,
-                              d_new: np.ndarray, gg: np.ndarray,
-                              plane_cols: np.ndarray, idx: int, eps: float,
-                              max_iters: int = 500, lr: float = 1e-2):
-    """Pull off-surface trilinear intersections back onto both surfaces.
+# jitted GD-rescue programs, keyed by (spec, pow2 bucket, max_iters, lr);
+# bounded in practice (few specs per process x ~4-6 buckets)
+_GD_RUN_CACHE: dict = {}
 
-    <= ``max_iters`` steps of normalized gradient descent on d0^2 + d1^2 over
-    the local edge coordinates, clamped to [0, 1]^3 (reference
-    subpoly_debug.py:121-165).  Only rows in ``gd`` = not-out-of-range but
-    off-surface are optimized.  Returns updated (ints, d_new).
 
-    The whole bounded loop runs as ONE jitted ``lax.while_loop`` dispatch
-    (same structure as the fused device engine's gd_cond/gd_body,
-    device.py s3 curved stage) — the previous host ``while`` paid one device
-    round-trip per iteration, up to ~12 s worst case on the ~25 ms tunnel.
-    Rows are padded to a power-of-two bucket with a validity mask so the 33
-    insertion steps share a handful of compiled shapes.
-    """
+def _gd_run_fn(spec, cap: int, max_iters: int, lr: float):
+    """Compiled GD-rescue loop for one (spec, bucket): all per-call data —
+    params, x0, edge endpoints, plane columns, validity, current plane idx,
+    eps — are traced ARGUMENTS, so every insertion step at this bucket runs
+    the same executable."""
+    key = (spec, cap, max_iters, lr)
+    fn = _GD_RUN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
     import jax
     import jax.numpy as jnp
 
     from tropical.core.net import net_outputs
 
-    gd = (~gg) & ((np.abs(d_new) > eps).any(axis=-1))
-    COUNTERS["sentinels"] += int(gg.sum())
-    COUNTERS["gd_rows"] += int(gd.sum())
-    if not gd.any():
-        return ints, d_new
-
-    n = int(gd.sum())
-    cap = max(8, 1 << (n - 1).bit_length())        # pow-2 shape bucket
-    pad = cap - n
-
-    def _pad(a, fill=0):
-        return jnp.asarray(np.concatenate(
-            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], 0))
-
-    e0 = _pad(e_c[gd, 0])
-    # padded rows get a degenerate edge (e1 == e0) and are masked everywhere
-    e1 = _pad(e_c[gd, 1] - e_c[gd, 0]) + e0
-    cols = _pad(plane_cols[gd].astype(np.int32))
-    valid = _pad(np.ones(n, bool))
-    spec, params = net.spec, net.params
-
     @jax.jit
-    def run(x0):
+    def run(params, x0, e0, e1, cols, valid, idx, eps):
         def loss(x):
             pts = e0 + x * (e1 - e0)
             outs = net_outputs(spec, params, pts)
             d0 = jnp.take_along_axis(outs, cols[:, None], axis=1)[:, 0]
-            d1 = outs[:, idx]
+            d1 = jnp.take(outs, idx, axis=1, mode="clip")
             y = jnp.where(valid, d0 ** 2 + d1 ** 2, 0.0).sum()
             return y, (d0, d1)
 
@@ -172,7 +148,56 @@ def gradient_descent_failover(net, e_c: np.ndarray, ints: np.ndarray,
             cond, body, (x0, ones, ones, jnp.int32(0)))
         return x, d0, d1
 
-    x, d0, d1 = run(_pad(ints[gd].astype(np.float32)))
+    _GD_RUN_CACHE[key] = run
+    return run
+
+
+def gradient_descent_failover(net, e_c: np.ndarray, ints: np.ndarray,
+                              d_new: np.ndarray, gg: np.ndarray,
+                              plane_cols: np.ndarray, idx: int, eps: float,
+                              max_iters: int = 500, lr: float = 1e-2):
+    """Pull off-surface trilinear intersections back onto both surfaces.
+
+    <= ``max_iters`` steps of normalized gradient descent on d0^2 + d1^2 over
+    the local edge coordinates, clamped to [0, 1]^3 (reference
+    subpoly_debug.py:121-165).  Only rows in ``gd`` = not-out-of-range but
+    off-surface are optimized.  Returns updated (ints, d_new).
+
+    The whole bounded loop runs as ONE jitted ``lax.while_loop`` dispatch
+    (same structure as the fused device engine's gd_cond/gd_body,
+    device.py s3 curved stage) — the previous host ``while`` paid one device
+    round-trip per iteration, up to ~12 s worst case on the ~25 ms tunnel.
+    Rows are padded to a power-of-two bucket with a validity mask, and the
+    jitted program is cached module-level per (spec, bucket) with
+    e0/e1/cols/valid/idx/eps passed as ARGUMENTS, so the 33 insertion steps
+    genuinely reuse compiled programs instead of retracing a fresh closure
+    per call (round-4 advisor finding).
+    """
+    import jax.numpy as jnp
+
+    gd = (~gg) & ((np.abs(d_new) > eps).any(axis=-1))
+    COUNTERS["sentinels"] += int(gg.sum())
+    COUNTERS["gd_rows"] += int(gd.sum())
+    if not gd.any():
+        return ints, d_new
+
+    n = int(gd.sum())
+    cap = max(8, 1 << (n - 1).bit_length())        # pow-2 shape bucket
+    pad = cap - n
+
+    def _pad(a, fill=0):
+        return jnp.asarray(np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], 0))
+
+    e0 = _pad(e_c[gd, 0])
+    # padded rows get a degenerate edge (e1 == e0) and are masked everywhere
+    e1 = _pad(e_c[gd, 1] - e_c[gd, 0]) + e0
+    cols = _pad(plane_cols[gd].astype(np.int32))
+    valid = _pad(np.ones(n, bool))
+
+    run = _gd_run_fn(net.spec, cap, max_iters, lr)
+    x, d0, d1 = run(net.params, _pad(ints[gd].astype(np.float32)),
+                    e0, e1, cols, valid, jnp.int32(idx), jnp.float32(eps))
 
     ints = ints.copy()
     d_new = d_new.copy()

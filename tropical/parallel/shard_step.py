@@ -102,7 +102,10 @@ def front_half_sharded(mesh: Mesh, ecap: int, ccap: int):
 
         ovf_loc = (split.sum() > cs).astype(jnp.int32)
         n_split = jax.lax.psum(n_loc, "dp")
-        ovf = jax.lax.psum(ovf_loc, "dp")
+        # overflow if ANY shard clipped locally OR the merged global block
+        # exceeds ccap (8 x cs can exceed ccap without any shard clipping —
+        # mirrors the single-chip OVF_C check; round-4 advisor finding)
+        ovf = jax.lax.psum(ovf_loc, "dp") + (n_split > ccap).astype(jnp.int32)
 
         # merge: gather every shard's block, sort by global edge id (invalid
         # rows keyed ecap sort to the back) — single-chip candidate order

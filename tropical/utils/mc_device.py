@@ -131,8 +131,13 @@ def _topology(vals, cmin, ecap: int, ccap: int, tcap: int):
 def _mc_slab_fn(spec, nxs: int, res: int, ecap: int, ccap: int, tcap: int):
     """The fused forward+topology slab program (memoized per static config).
 
-    Dynamic args: (params, tables, canvas f32, x0 i32 — slab origin in grid
-    points, cmin i32 — first local cube x-layer to emit).
+    Dynamic args: (params, tables, xw [nxs] f32 — the slab's slice of the
+    HOST linspace axis, yw [res] f32 — the full axis, cmin i32 — first local
+    cube x-layer to emit).  The host linspace is passed in rather than
+    re-synthesized on device so the SDF is sampled at EXACTLY the coordinates
+    :func:`interp_edge_keys` later interpolates between (a device-side
+    ``(x0+i)*step - canvas`` differs from ``np.linspace`` by ~1 ulp —
+    round-4 advisor finding).
     """
     key = (spec, nxs, res, ecap, ccap, tcap)
     fn = _FN_CACHE.get(key)
@@ -140,18 +145,11 @@ def _mc_slab_fn(spec, nxs: int, res: int, ecap: int, ccap: int, tcap: int):
         return fn
 
     import jax
-    import jax.numpy as jnp
 
     from tropical.core.net import net_sdf_lattice
 
     @jax.jit
-    def f(params, tables, canvas, x0, cmin):
-        # device-synthesized coordinates; formula matches
-        # isosurface._grid_sdf_fn so the two sweeps share grid semantics
-        step = (2.0 * canvas) / (res - 1)
-        xw = (x0 + jnp.arange(nxs, dtype=jnp.int32)).astype(jnp.float32) \
-            * step - canvas
-        yw = jnp.arange(res, dtype=jnp.float32) * step - canvas
+    def f(params, tables, xw, yw, cmin):
         vals = net_sdf_lattice(spec, params, xw, yw, yw, tables=tables) \
             .reshape(nxs, res, res)
         return _topology(vals, cmin, ecap, ccap, tcap)
@@ -190,6 +188,7 @@ def mc_slabs_device(net, res: int, canvas: float, max_pts: int = 1 << 23,
 
     spec = net.spec
     nxs = _slab_width(res, max_pts)
+    s = np.linspace(-canvas, canvas, res, dtype=np.float32)
     tables = tuple(lattice_tables(spec.grid, net.params["table"],
                                   nxs * res * res))
     # crossing edges scale with the surface area inside the slab: ~2-3.5x
@@ -211,7 +210,7 @@ def mc_slabs_device(net, res: int, canvas: float, max_pts: int = 1 << 23,
         for _attempt in range(4):
             fn = _mc_slab_fn(spec, nxs, res, ecap, ccap, tcap)
             meta, keys, va, vb, tris = fn(net.params, tables,
-                                          float(canvas), x0, cmin)
+                                          s[x0:x0 + nxs], s, cmin)
             n_e, n_t, ovf, n_a = (int(v) for v in np.asarray(meta))
             if not ovf:
                 break
