@@ -25,7 +25,8 @@ def next_multiple(x, m):
 
 
 def level_params(l, n_min, n_max, scale, levels, T, D=3):
-    growth = np.exp2(np.log2(n_max * scale / n_min) / (levels - 1))
+    growth = (1.0 if levels == 1 else
+              np.exp2(np.log2(n_max * scale / n_min) / (levels - 1)))
     s = float(np.exp2(l * np.log2(growth)) * n_min - 1.0)
     res = int(np.ceil(s)) + 1
     entries = min(next_multiple(res ** D, 8), 1 << T)
@@ -102,6 +103,56 @@ def main():
     print("== NGP level 6 (hashed, res 112) ==")
     print(f"  corner idxs {idxs}")
     print(f"  {tuple(x)}: [" + ", ".join(f"{vv:.10f}" for vv in v) + "]")
+
+    # ---- round-5 adversarial fixtures (VERDICT task 6) ---------------------
+
+    # (a) EVERY level hashed: T=14 (16384 entries/level), L=4, N_min=26
+    #     (26^3 = 17576 > 2^14 already at level 0), N_max=64.
+    print("== ALLHASH (26,64,T14,L4): every level hashed ==")
+    n_entries = 4 * (1 << 14)
+    tab = fill_table(n_entries)
+    for name, x in [("interior", (0.137, 0.482, 0.911)),
+                    ("corner x=1", (1.0, 1.0, 1.0))]:
+        feats = []
+        for l in range(4):
+            s, res, entries, off = level_params(l, 26, 64, 1.0, 4, 14)
+            assert res ** 3 > (1 << 14), (l, res)
+            v, idxs = encode_point(np.array(x), tab, l, 26, 64, 1.0, 4, 14)
+            feats += list(v)
+            print(f"  {name} L{l}: res {res} entries {entries} "
+                  f"corner idxs {idxs}")
+        print(f"  {name} {x}: [" + ", ".join(f"{v:.10f}" for v in feats)
+              + "]")
+
+    # (b) the dense/hash switch boundary at T=19: 80^3 = 512000 <= 2^19
+    #     (dense, linear index), 81^3 = 531441 > 2^19 (hashed).  Single-level
+    #     configs pin the exact switch resolution from both sides.
+    for n_min in (80, 81):
+        s, res, entries, off = level_params(0, n_min, n_min, 1.0, 1, 19)
+        hashed = res ** 3 > (1 << 19)
+        n_entries = entries
+        tab = fill_table(n_entries)
+        x = (0.507, 0.253, 0.851)
+        v, idxs = encode_point(np.array(x), tab, 0, n_min, n_min, 1.0, 1, 19)
+        print(f"== SWITCH res {res} ({'hashed' if hashed else 'dense'}, "
+              f"entries {entries}) ==")
+        print(f"  corner idxs {idxs}")
+        print(f"  {x}: [" + ", ".join(f"{vv:.10f}" for vv in v) + "]")
+
+    # (c) x EXACTLY on level grid planes of the SMALL preset: x = 0.5 gives
+    #     pos = x*s + 0.5 integral on levels 0 (s=1) and 3 (s=31) — the
+    #     interpolation weight degenerates to a single corner row there, so
+    #     any off-by-one in floor/frac or corner order shows up raw.
+    tab = fill_table(n_entries_small)
+    x = (0.5, 0.5, 0.5)
+    feats = []
+    for l in range(4):
+        s32 = np.float32(level_params(l, 2, 32, 1.0, 4, 19)[0])
+        pos = np.float32(0.5) * s32 + np.float32(0.5)
+        v, idxs = encode_point(np.array(x), tab, l, 2, 32, 1.0, 4, 19)
+        feats += list(v)
+        print(f"  on-plane L{l}: pos {pos!r} integral={float(pos).is_integer()}")
+    print(f"  on-plane {x}: [" + ", ".join(f"{v:.10f}" for v in feats) + "]")
 
 
 if __name__ == "__main__":

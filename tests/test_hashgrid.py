@@ -361,6 +361,82 @@ def test_tcnn_golden_values_hash_level():
     np.testing.assert_allclose(out, [0.0252026602, 0.1033276602], atol=2e-6)
 
 
+def test_tcnn_golden_values_all_levels_hashed():
+    """Adversarial config where EVERY level hashes (T=14, N_min=26: 26^3 >
+    2^14 already at level 0) — exercises the prime-hash + mod-2^T path for
+    all four levels at once, including the uint32 wraparound at x=1.
+    Literals from scripts/derive_tcnn_goldens.py (round-5 fixtures)."""
+    spec = HashGridSpec(scale=1.0, dim=3, levels=4, features=2,
+                        log2_table=14, n_min=26, n_max=64)
+    assert all(spec.level_uses_hash(l) for l in range(4))
+    params = jnp.asarray(_golden_table(spec.n_entries))
+    x = jnp.asarray([[0.137, 0.482, 0.911], [1.0, 1.0, 1.0]], jnp.float32)
+    out = np.asarray(encode(spec, params, x))
+    golden_interior = [-1.1840998232, -1.1059748232, 0.7205577133,
+                       0.7986827133, 1.1228247982, 1.2009497982,
+                       -0.6544148175, -0.5762898175]
+    golden_corner = [-1.1601562500, -1.0820312500, 0.3103833479,
+                     0.3885083479, 0.4487427320, 0.5268677320,
+                     -0.5000000000, -0.4218750000]
+    np.testing.assert_allclose(out[0], golden_interior, atol=2e-6)
+    np.testing.assert_allclose(out[1], golden_corner, atol=2e-6)
+
+    from tropical.core.hashgrid import _level_indices
+    cp = jnp.asarray([[26, 26, 26]], jnp.int32)  # upper corner of last cell
+    # level-0 hash of (26,26,26) mixes all three primes mod 2^14
+    assert int(np.asarray(_level_indices(spec, 0, cp))[0]) == 16066
+
+
+@pytest.mark.parametrize("n_min,golden,idx0", [
+    # 80^3 = 512000 <= 2^19: DENSE, linear x-fastest index
+    (80, [-0.5827387571, -0.5046137571], 430440),
+    # 81^3 = 531441 > 2^19: HASHED, coherent-prime hash mod 2^19
+    (81, [0.0890449045, -0.2713348198], 180841),
+])
+def test_tcnn_dense_hash_switch_boundary(n_min, golden, idx0):
+    """Non-power-of-two resolutions bracketing the T=19 dense/hash switch
+    (res 80 dense vs res 81 hashed): an implementation that switches at the
+    wrong threshold, or hashes dense levels, fails one of the two sides.
+    Literals from scripts/derive_tcnn_goldens.py (round-5 fixtures)."""
+    spec = HashGridSpec(scale=1.0, dim=3, levels=1, features=2,
+                        log2_table=19, n_min=n_min, n_max=n_min)
+    assert spec.level_uses_hash(0) == (n_min == 81)
+    params = jnp.asarray(_golden_table(spec.n_entries))
+    x = jnp.asarray([[0.507, 0.253, 0.851]], jnp.float32)
+    out = np.asarray(encode(spec, params, x))[0]
+    np.testing.assert_allclose(out, golden, atol=2e-6)
+
+    from tropical.core.hashgrid import _level_indices
+    pos = np.floor(np.float32(0.507) * np.float32(spec.level_scale(0))
+                   + np.float32(0.5))
+    py = np.floor(np.float32(0.253) * np.float32(spec.level_scale(0))
+                  + np.float32(0.5))
+    pz = np.floor(np.float32(0.851) * np.float32(spec.level_scale(0))
+                  + np.float32(0.5))
+    cp = jnp.asarray([[int(pos), int(py), int(pz)]], jnp.int32)
+    assert int(np.asarray(_level_indices(spec, 0, cp))[0]) == idx0
+
+
+def test_tcnn_golden_values_on_grid_plane():
+    """x = 0.5 sits EXACTLY on a grid plane of SMALL levels 0 (pos = 1.0)
+    and 3 (pos = 16.0): the trilinear weight degenerates to a single corner
+    row, so any off-by-one in floor/frac or corner ordering shows raw.
+    Literals from scripts/derive_tcnn_goldens.py (round-5 fixtures)."""
+    params = jnp.asarray(_golden_table(SMALL.n_entries))
+    x = jnp.asarray([[0.5, 0.5, 0.5]], jnp.float32)
+    out = np.asarray(encode(SMALL, params, x))[0]
+    golden = [-1.6718750000, -1.5937500000, -0.5615681708, -0.4834431708,
+              -0.0744352415, 0.0036897585, 0.8593750000, 0.9375000000]
+    np.testing.assert_allclose(out, golden, atol=2e-6)
+    # the degenerate levels reproduce the corner row EXACTLY (weight 1.0)
+    pg0 = 1 + 1 * 2 + 1 * 4                     # level 0: pos_grid (1,1,1)
+    np.testing.assert_array_equal(
+        out[0:2], np.asarray(params)[pg0])
+    off3 = SMALL.level_offsets[3]
+    pg3 = 16 + 16 * 32 + 16 * 32 * 32           # level 3: pos_grid (16,)*3
+    np.testing.assert_array_equal(out[6:8], np.asarray(params)[off3 + pg3])
+
+
 def test_tcnn_pth_import_end_to_end(tmp_path):
     """A real torch-saved .pth checkpoint (zipfile state_dict with a
     non-trivial table) loads through the reference path
