@@ -32,5 +32,30 @@ def test_device_faces_matches_host(trained_net):
     overlap = len(s1 & s2) / max(len(s1), 1)
     assert overlap > 0.995, f"triangle-set overlap {overlap:.4f}"
 
+    # ---- quantified divergence bound (round-5, VERDICT task 7) ----------
+    # The residual divergence must be EXACTLY the documented kind: fp
+    # tie-breaks in the angular sort picking a different fan diagonal of
+    # the same polygon.  Diagonal flips preserve (a) the triangle count,
+    # (b) the vertex set, and (c) the summed surface area of the divergent
+    # triangles — so the symmetric difference is pinned on all three, plus
+    # a hard fraction bound.  Anything else (a dropped polygon, a wrong
+    # vertex, an overlapping fan) breaks one of these.
+    d1 = s1 - s2
+    d2 = s2 - s1
+    assert len(d1) == len(d2), (len(d1), len(d2))
+    frac = len(d1) / max(len(s1), 1)
+    assert frac <= 0.005, f"divergent-triangle fraction {frac:.5f}"
+    assert ({i for t in d1 for i in t} == {i for t in d2 for i in t})
+
+    def tri_area(tris):
+        if not tris:
+            return 0.0
+        p = v1[np.asarray(sorted(tris))]
+        cr = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        return float(0.5 * np.linalg.norm(cr, axis=1).sum())
+
+    a1, a2 = tri_area(d1), tri_area(d2)
+    assert abs(a1 - a2) <= 1e-6 * max(tri_area(s1), 1e-30) + 1e-12, (a1, a2)
+
     # faces positions consistent with indices
     np.testing.assert_allclose(f2, v2[t2], atol=0)
