@@ -120,17 +120,49 @@ def test_sharded_extraction_parity(trained_net):
 
 
 def test_mesh_extraction_routes_to_fused_engine(trained_net):
-    """A >1-device mesh takes the fused device engine for supported nets
-    (VERDICT round-2 weak item 6: the dp-fanned host loop is strictly
-    slower than the single-chip fused program, so 'sharding' the loop was
-    a slowdown).  The mesh result must equal the meshless device-engine
-    result exactly."""
+    """A >1-device mesh routes the skeleton's lattice forward over the
+    mesh's dp axis (round-5: `skeleton_sharded` is the PRODUCT path now,
+    not a testbed) while the insertion loop stays single-chip per the
+    DESIGN.md crossover analysis.  The mesh result must equal the meshless
+    device-engine result exactly."""
     from tropical.extract.subdivide import subpoly
 
     mesh = make_mesh(8)
     _, v1, t1 = subpoly(trained_net, 3, 1.2, force=True, verbose=False)
     _, vn, tn = subpoly(trained_net, 3, 1.2, force=True, verbose=False,
                         mesh=mesh)
+    # funnel + topology EXACT; vertex coords to 1 ulp — the mesh path runs
+    # the staged loop program (sharded skeleton feeding pool buffers), a
+    # different XLA compilation of the same f32 math than the meshless
+    # fused program, so fusion-dependent rounding may differ by one ulp
     assert v1.shape == vn.shape and t1.shape == tn.shape
-    np.testing.assert_array_equal(v1, vn)
+    np.testing.assert_allclose(v1, vn, atol=1e-6)
     np.testing.assert_array_equal(t1, tn)
+
+
+def test_skeleton_sharded_matches_single_chip(trained_net):
+    """The dp-sharded skeleton (lattice forward over x-slabs + replicated
+    squeeze) returns the EXACT single-chip skeleton buffers — vertices,
+    outputs, edges, counts — including the x-axis padding to a dp multiple
+    (round-5, VERDICT task 5)."""
+    from tropical.extract import device as dev
+    from tropical.parallel.shard_step import skeleton_sharded
+
+    mesh = make_mesh(8)
+    net = trained_net
+    M = int(net.marks.shape[0])
+    assert M % 8 != 0, "fixture should exercise the padded-slab path"
+    dist_k = dev._dist_pool_k(np.asarray(net.marks))
+    sc = dev.default_skel_caps(M, "dist")
+    fn = dev.make_skeleton_fn(net.spec, sc, M, 1e-4, mode="dist",
+                              dist_k=dist_k)
+    V1, O1, E1, nv1, ne1, ovf1 = fn(net.params, net.marks)
+    Vn, On, En, nvn, nen, ovfn = skeleton_sharded(
+        net, mesh, sc, 1e-4, "dist", dist_k)
+    assert int(ovf1) == int(ovfn) == 0
+    assert int(nv1) == int(nvn) and int(ne1) == int(nen)
+    np.testing.assert_array_equal(np.asarray(V1), np.asarray(Vn))
+    np.testing.assert_array_equal(np.asarray(E1), np.asarray(En))
+    # OUT to 1 ulp: the sharded forward is a different XLA compilation of
+    # the same f32 lattice math (fusion-dependent rounding)
+    np.testing.assert_allclose(np.asarray(O1), np.asarray(On), atol=1e-6)

@@ -522,20 +522,21 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         cd1 = jnp.where(cval, ocp[ce1], 1.0)
 
         # --- 3. linear interpolation (subpoly.py:117,180) ---------------------
-        wgt = jnp.abs(cd0) / jnp.maximum(jnp.abs(cd1 - cd0), 1e-30)
-        v0 = V[ce0]
-        v1 = V[ce1]
-        cand_v = v0 * (1 - wgt[:, None]) + v1 * wgt[:, None]
+        with jax.named_scope("s3_lerp"):
+            wgt = jnp.abs(cd0) / jnp.maximum(jnp.abs(cd1 - cd0), 1e-30)
+            v0 = V[ce0]
+            v1 = V[ce1]
+            cand_v = v0 * (1 - wgt[:, None]) + v1 * wgt[:, None]
 
-        col = jnp.arange(R_COLS, dtype=jnp.int32)[None, :]
-        # shared zero-plane bits of each split edge's endpoints, from the
-        # per-vertex zero-word store (2 u32 gathers per endpoint instead of
-        # 33 floats — the row gathers were ~6M gathered elements per busy
-        # step at medium scale; the words themselves are packed once at
-        # vertex creation)
-        both_lo = ZB[0][ce0] & ZB[0][ce1]
-        both_hi = (ZB[1][ce0] & ZB[1][ce1]) if NW > 1 else \
-            jnp.zeros_like(both_lo)
+            col = jnp.arange(R_COLS, dtype=jnp.int32)[None, :]
+            # shared zero-plane bits of each split edge's endpoints, from the
+            # per-vertex zero-word store (2 u32 gathers per endpoint instead
+            # of 33 floats — the row gathers were ~6M gathered elements per
+            # busy step at medium scale; the words themselves are packed once
+            # at vertex creation)
+            both_lo = ZB[0][ce0] & ZB[0][ce1]
+            both_hi = (ZB[1][ce0] & ZB[1][ce1]) if NW > 1 else \
+                jnp.zeros_like(both_lo)
         colu = jnp.arange(R_COLS, dtype=jnp.uint32)[None, :]
         # [CCAP, R] bool: column is eps-zero at BOTH endpoints
         both_zero_col = jnp.where(
@@ -705,21 +706,22 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         cand_out_s = cand_out[slanes]
 
         # --- 6. append new vertices (contiguous block writes) ------------------
-        start_v = jnp.minimum(nV, VCAP - CCAP)  # out-of-range already flagged
-        V = jax.lax.dynamic_update_slice(V, cand_v_s, (start_v, 0))
-        OUT = jax.lax.dynamic_update_slice(OUT, cand_out_s, (start_v, 0))
-        # pack the new rows' sign/zero words once (slot space, pre-compaction:
-        # rewrite + append sites below index them by slot) and store the
-        # survivor-compacted block alongside OUT
-        sb_pre, zb_pre, sz_pre = _pack_out_words(cand_out, eps)  # [NW, CCAP]
-        sb_s = jnp.where(sval[None, :], _gather_words(sb_pre, slanes), 0)
-        zb_s = jnp.where(sval[None, :], _gather_words(zb_pre, slanes), 0)
-        SB = jax.lax.dynamic_update_slice(SB, sb_s, (0, start_v))
-        ZB = jax.lax.dynamic_update_slice(ZB, zb_s, (0, start_v))
-        if not final:
-            sz_s = jnp.where(sval[None, :],
-                             _gather_words(sz_pre, slanes), 0)
-            SZ = jax.lax.dynamic_update_slice(SZ, sz_s, (0, start_v))
+        with jax.named_scope("s6_append"):
+            start_v = jnp.minimum(nV, VCAP - CCAP)  # overflow already flagged
+            V = jax.lax.dynamic_update_slice(V, cand_v_s, (start_v, 0))
+            OUT = jax.lax.dynamic_update_slice(OUT, cand_out_s, (start_v, 0))
+            # pack the new rows' sign/zero words once (slot space,
+            # pre-compaction: rewrite + append sites below index them by
+            # slot) and store the survivor-compacted block alongside OUT
+            sb_pre, zb_pre, sz_pre = _pack_out_words(cand_out, eps)
+            sb_s = jnp.where(sval[None, :], _gather_words(sb_pre, slanes), 0)
+            zb_s = jnp.where(sval[None, :], _gather_words(zb_pre, slanes), 0)
+            SB = jax.lax.dynamic_update_slice(SB, sb_s, (0, start_v))
+            ZB = jax.lax.dynamic_update_slice(ZB, zb_s, (0, start_v))
+            if not final:
+                sz_s = jnp.where(sval[None, :],
+                                 _gather_words(sz_pre, slanes), 0)
+                SZ = jax.lax.dynamic_update_slice(SZ, sz_s, (0, start_v))
         # aliveV is not maintained per step: liveness is implied by aliveE
         # (the hit scan walks edges); the epilogue recomputes it once
 
@@ -738,70 +740,75 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         #                    includes them
 
         # lane -> candidate index -> survivor rank (gathers only, no scatter)
-        rank = jnp.cumsum(split.astype(jnp.int32)) - 1
-        split_kept = split & keep_c[rank]
-        new_id = nV + rank2[rank]
-        old_second = E[lanes, 1]
-        aliveE_pre = aliveE           # pre-append liveness, for the hit scan
-        e0_col = E[:, 0]              # pre-rewrite endpoints, ditto
-        e1_col = E[:, 1]
-        E = jnp.stack(
-            [E[:, 0], jnp.where(split_kept, new_id, E[:, 1])], axis=-1)
+        with jax.named_scope("s7_rewrite"):
+            rank = jnp.cumsum(split.astype(jnp.int32)) - 1
+            split_kept = split & keep_c[rank]
+            new_id = nV + rank2[rank]
+            old_second = E[lanes, 1]
+            aliveE_pre = aliveE       # pre-append liveness, for the hit scan
+            e0_col = E[:, 0]          # pre-rewrite endpoints, ditto
+            e1_col = E[:, 1]
+            E = jnp.stack(
+                [E[:, 0], jnp.where(split_kept, new_id, E[:, 1])], axis=-1)
 
-        # rewritten edges (a, new): update their static split words in place
-        # (slot space: slot s rewrites lane lanes[s] iff its candidate
-        # survived; a = ce0[s], new vertex words = the slot-space pack)
-        if not final:
-            rw_p_sb = _gather_words(SB, ce0)
-            rw_p_zb = _gather_words(ZB, ce0)
-            rw_p_sz = _gather_words(SZ, ce0)
-            eb_rw, ld_rw = _edge_bits(rw_p_sb, rw_p_zb, sb_pre, zb_pre)
-            rw_tgt = jnp.where(cval & keep_c, lanes, ECAP)
-            EB = jnp.stack([EB[w].at[rw_tgt].set(eb_rw[w], mode="drop")
-                            for w in range(NW)])
-            LD = LD.at[rw_tgt].set(ld_rw, mode="drop")
-            EZ0 = jnp.stack([EZ0[w].at[rw_tgt].set(rw_p_sz[w], mode="drop")
-                             for w in range(NW)])
-            EZ1 = jnp.stack([EZ1[w].at[rw_tgt].set(sz_pre[w], mode="drop")
-                             for w in range(NW)])
+            # rewritten edges (a, new): update their static split words in
+            # place (slot space: slot s rewrites lane lanes[s] iff its
+            # candidate survived; a = ce0[s], new words = slot-space pack)
+            if not final:
+                rw_p_sb = _gather_words(SB, ce0)
+                rw_p_zb = _gather_words(ZB, ce0)
+                rw_p_sz = _gather_words(SZ, ce0)
+                eb_rw, ld_rw = _edge_bits(rw_p_sb, rw_p_zb, sb_pre, zb_pre)
+                rw_tgt = jnp.where(cval & keep_c, lanes, ECAP)
+                EB = jnp.stack([EB[w].at[rw_tgt].set(eb_rw[w], mode="drop")
+                                for w in range(NW)])
+                LD = LD.at[rw_tgt].set(ld_rw, mode="drop")
+                EZ0 = jnp.stack(
+                    [EZ0[w].at[rw_tgt].set(rw_p_sz[w], mode="drop")
+                     for w in range(NW)])
+                EZ1 = jnp.stack(
+                    [EZ1[w].at[rw_tgt].set(sz_pre[w], mode="drop")
+                     for w in range(NW)])
 
-        ra = jnp.where(sval, old_second[slanes], 0)
-        rb = nV + jnp.arange(CCAP, dtype=jnp.int32)
-        if prefilter:
-            # appended edges (old second endpoint, new vertex): the
-            # pre-filter needs their last-differ columns
-            ap_p_sb = _gather_words(SB, ra)
-            ap_p_zb = _gather_words(ZB, ra)
-            eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
-            keep_r = sval & (ld_ap >= idx)
-            rlanes, rval, n_eapp = _compact_lanes(keep_r, CCAP)
-        else:
-            rlanes, rval, n_eapp = jnp.arange(CCAP, dtype=jnp.int32), sval, n_new
-        e_app = jnp.stack(
-            [jnp.where(rval, ra[rlanes], 0),
-             jnp.where(rval, rb[rlanes], 0)], axis=-1)
-        start_e = jnp.minimum(nE, ECAP - CCAP)
-        ovf = ovf | jnp.where(nE + n_eapp > ECAP - CCAP, OVF_E, 0)
-        E = jax.lax.dynamic_update_slice(E, e_app, (start_e, 0))
-        aliveE = jax.lax.dynamic_update_slice(aliveE, rval, (start_e,))
-        if not final:
-            if not prefilter:
+            ra = jnp.where(sval, old_second[slanes], 0)
+            rb = nV + jnp.arange(CCAP, dtype=jnp.int32)
+            if prefilter:
+                # appended edges (old second endpoint, new vertex): the
+                # pre-filter needs their last-differ columns
                 ap_p_sb = _gather_words(SB, ra)
                 ap_p_zb = _gather_words(ZB, ra)
                 eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
-            ap_p_sz = _gather_words(SZ, ra)
-            eb_blk = jnp.where(rval[None, :], _gather_words(eb_ap, rlanes), 0)
-            ld_blk = jnp.where(rval, ld_ap[rlanes], -1)
-            EB = jax.lax.dynamic_update_slice(EB, eb_blk, (0, start_e))
-            LD = jax.lax.dynamic_update_slice(LD, ld_blk, (start_e,))
-            EZ0 = jax.lax.dynamic_update_slice(
-                EZ0, jnp.where(rval[None, :],
-                               _gather_words(ap_p_sz, rlanes), 0),
-                (0, start_e))
-            EZ1 = jax.lax.dynamic_update_slice(
-                EZ1, jnp.where(rval[None, :],
-                               _gather_words(sz_s, rlanes), 0),
-                (0, start_e))
+                keep_r = sval & (ld_ap >= idx)
+                rlanes, rval, n_eapp = _compact_lanes(keep_r, CCAP)
+            else:
+                rlanes, rval, n_eapp = (jnp.arange(CCAP, dtype=jnp.int32),
+                                        sval, n_new)
+            e_app = jnp.stack(
+                [jnp.where(rval, ra[rlanes], 0),
+                 jnp.where(rval, rb[rlanes], 0)], axis=-1)
+            start_e = jnp.minimum(nE, ECAP - CCAP)
+            ovf = ovf | jnp.where(nE + n_eapp > ECAP - CCAP, OVF_E, 0)
+            E = jax.lax.dynamic_update_slice(E, e_app, (start_e, 0))
+            aliveE = jax.lax.dynamic_update_slice(aliveE, rval, (start_e,))
+            if not final:
+                if not prefilter:
+                    ap_p_sb = _gather_words(SB, ra)
+                    ap_p_zb = _gather_words(ZB, ra)
+                    eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
+                ap_p_sz = _gather_words(SZ, ra)
+                eb_blk = jnp.where(rval[None, :],
+                                   _gather_words(eb_ap, rlanes), 0)
+                ld_blk = jnp.where(rval, ld_ap[rlanes], -1)
+                EB = jax.lax.dynamic_update_slice(EB, eb_blk, (0, start_e))
+                LD = jax.lax.dynamic_update_slice(LD, ld_blk, (start_e,))
+                EZ0 = jax.lax.dynamic_update_slice(
+                    EZ0, jnp.where(rval[None, :],
+                                   _gather_words(ap_p_sz, rlanes), 0),
+                    (0, start_e))
+                EZ1 = jax.lax.dynamic_update_slice(
+                    EZ1, jnp.where(rval[None, :],
+                                   _gather_words(sz_s, rlanes), 0),
+                    (0, start_e))
         nE2 = nE + n_eapp
         nV2 = nV + n_new
 
@@ -1049,6 +1056,17 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             # capacity marks above are per-step maxima) so they are directly
             # comparable to host-engine event totals
             hw = hw.at[13:16].add(jnp.stack([n_sent, n_gd, n_strict_drop]))
+        else:
+            # force=True diagnostics (the curved meters are unused): [13]
+            # big-tier busy steps, [14] small-tier busy steps, [15] max
+            # n_split over non-final big-tier steps — evidence for whether
+            # a mid tier between TIER_SMALL and TIER_BIG would pay
+            if tier is TIER_BIG:
+                if not final:
+                    hw = hw.at[13].add(1)
+                    hw = hw.at[15].max(n_split)
+            else:
+                hw = hw.at[14].add(1)
         state = State(V, OUT, E, aliveV, aliveE, nV2, nE3, ovf, hw,
                       SB, ZB, SZ, EB, LD, EZ0, EZ1)
         if prune and "prune" not in disable:
@@ -1120,7 +1138,15 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
 
         do_compact = ((nE - n_keep) * 4 > n_keep) \
             | (nE + 2 * (CCAP + caps.conncap) > ECAP)
-        e_tiers = sorted({max(ECAP // 4, 65536), max(ECAP // 2, 65536), ECAP})
+        # finer tier ladder (round 5): at large caps the compaction fires
+        # mostly between ECAP/2 and ECAP where the old 3-tier ladder ran at
+        # full pool width — quarter-steps keep the 9 pool-wide gathers on
+        # the smallest covering prefix (prune_compact was ~100 ms of the
+        # large loop, the single biggest attributed loop cost)
+        e_tiers = sorted({max(ECAP // 8, 65536), max(ECAP // 4, 65536),
+                          max(3 * ECAP // 8, 65536), max(ECAP // 2, 65536),
+                          max(5 * ECAP // 8, 65536), max(3 * ECAP // 4, 65536),
+                          ECAP})
         e_tiers = [t for t in e_tiers if t <= ECAP]
 
         def _compact_tiered(args):
@@ -1144,25 +1170,27 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             # E's renumber gather indexes dead lanes up to VCAP)
             def go(args):
                 V, OUT, E, SB, ZB, SZ, nV = args
-                used = jnp.zeros(VCAP, bool)
-                used = used.at[jnp.where(val, E[:, 0], VCAP)].set(
-                    True, mode="drop")
-                used = used.at[jnp.where(val, E[:, 1], VCAP)].set(
-                    True, mode="drop")
-                new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
-                vlanes, vval, n_used = _compact_lanes(
-                    jax.lax.slice(used, (0,), (T,)), T)
-                Vc = jnp.where(vval[:, None],
-                               jax.lax.slice(V, (0, 0), (T, 3))[vlanes], 0)
-                OUTc = jnp.where(
-                    vval[:, None],
-                    jax.lax.slice(OUT, (0, 0), (T, R_COLS))[vlanes], 0)
-                SBc = jnp.where(vval[None, :], _gather_words(
-                    jax.lax.slice(SB, (0, 0), (NW, T)), vlanes), 0)
-                ZBc = jnp.where(vval[None, :], _gather_words(
-                    jax.lax.slice(ZB, (0, 0), (NW, T)), vlanes), 0)
-                SZc = jnp.where(vval[None, :], _gather_words(
-                    jax.lax.slice(SZ, (0, 0), (NW, T)), vlanes), 0)
+                with jax.named_scope("prune_vcompact"):
+                    used = jnp.zeros(VCAP, bool)
+                    used = used.at[jnp.where(val, E[:, 0], VCAP)].set(
+                        True, mode="drop")
+                    used = used.at[jnp.where(val, E[:, 1], VCAP)].set(
+                        True, mode="drop")
+                    new_index = jnp.cumsum(used.astype(jnp.int32)) - 1
+                    vlanes, vval, n_used = _compact_lanes(
+                        jax.lax.slice(used, (0,), (T,)), T)
+                    Vc = jnp.where(
+                        vval[:, None],
+                        jax.lax.slice(V, (0, 0), (T, 3))[vlanes], 0)
+                    OUTc = jnp.where(
+                        vval[:, None],
+                        jax.lax.slice(OUT, (0, 0), (T, R_COLS))[vlanes], 0)
+                    SBc = jnp.where(vval[None, :], _gather_words(
+                        jax.lax.slice(SB, (0, 0), (NW, T)), vlanes), 0)
+                    ZBc = jnp.where(vval[None, :], _gather_words(
+                        jax.lax.slice(ZB, (0, 0), (NW, T)), vlanes), 0)
+                    SZc = jnp.where(vval[None, :], _gather_words(
+                        jax.lax.slice(SZ, (0, 0), (NW, T)), vlanes), 0)
                 if T < VCAP:
                     pv = VCAP - T
                     Vc = jnp.concatenate([Vc, jnp.zeros((pv, 3), Vc.dtype)])
@@ -1176,7 +1204,9 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                 return Vc, OUTc, E2, SBc, ZBc, SZc, n_used
             return go
 
-        v_tiers = sorted({max(VCAP // 4, 65536), max(VCAP // 2, 65536),
+        v_tiers = sorted({max(VCAP // 8, 65536), max(VCAP // 4, 65536),
+                          max(3 * VCAP // 8, 65536), max(VCAP // 2, 65536),
+                          max(5 * VCAP // 8, 65536), max(3 * VCAP // 4, 65536),
                           VCAP})
         v_tiers = [t for t in v_tiers if t <= VCAP]
 
@@ -1878,9 +1908,13 @@ def _squeeze_edges(spec, mask, ea, eb, M: int, SV: int, SE: int,
                    lattice_out=None, params=None, marks=None):
     """Compact lattice edges + vertices used by them (squeeze_edges,
     reference tropical.py:211-222).  Per-vertex outputs come from the full
-    lattice array when available (single-block), else are recomputed with a
-    forward pass over the compacted vertices (slab path, which only stores
-    int8 signs)."""
+    lattice array when available, else are recomputed with a forward pass
+    over the compacted vertices (when the float lattice would not fit HBM).
+    MEASURED (round 5): splitting the [SV, R] row gather into R
+    single-column gathers from a transposed [R, M^3] lattice was 5x SLOWER
+    on the v5e (40.7 -> 213 ms at M=201) — the ROADMAP multi-column-gather
+    lesson applies to PACKED index gathers, not this row gather, which the
+    TPU emitter already handles at ~2 ns/element.  Keep the row gather."""
     lanes, val, n_edges = _compact_lanes(mask, SE)
     ovf = jnp.where(n_edges > SE, jnp.int32(OVF_E), 0)
     ea_c = jnp.where(val, ea[lanes], 0)
@@ -2146,9 +2180,16 @@ _PREFETCH_BYTES = 16 * 2 ** 20
 
 def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                    verbose: bool = True, caps: Caps | None = None,
-                   force: bool = True, skeleton_mode: str = "auto"):
+                   force: bool = True, skeleton_mode: str = "auto",
+                   mesh=None):
     """Drop-in fast path for ``subpoly``; force=False enables the exact
     bi-/tri-linear intersection path.
+
+    ``mesh``: a multi-device ``jax.sharding.Mesh`` routes the initial
+    skeleton's lattice forward over the mesh's ``dp`` axis (the pipeline's
+    embarrassingly parallel stage — `skeleton_sharded`); the insertion loop
+    and faces epilogue stay single-chip per the DESIGN.md crossover
+    analysis.  The funnel is identical to single-chip (tests/test_parallel).
 
     ``skeleton_mode``: "dist" (default via "auto"; overridable with the
     TROPICAL_SKEL_MODE env var) starts from the Lipschitz-distance-pruned
@@ -2373,10 +2414,13 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
                  or _PERSISTED["skel"].get(skel_tok)
                  or _PERSISTED["skel"].get(skel_tok_legacy))
 
+    multichip = mesh is not None and getattr(mesh, "size", 1) > 1
+
     # --- steady-state fast path: skeleton + loop fused in ONE program ------
     # (caps already known from a previous run or the persisted cache: one
-    # dispatch, no skeleton/pool round trips)
-    if caps is not None:
+    # dispatch, no skeleton/pool round trips; a multi-chip mesh takes the
+    # staged path below so the skeleton forward can ride the mesh)
+    if caps is not None and not multichip:
         import dataclasses
 
         hint = tuple(skel_caps) if skel_caps else None
@@ -2452,14 +2496,23 @@ def subpoly_device(net, d: int = 3, size: float = 1.2, eps: float = 1e-4,
     # through a ~40 MB/s tunnel)
     skel_caps = skel_caps or default_skel_caps(M, mode)
     for _ in range(5):
-        kkey = ("skel", net.spec, skel_caps, M, eps, mode)
-        if kkey not in _EXTRACT_CACHE:
-            mk = (make_skeleton_fn if M <= 128
-                  and M ** 3 * R_COLS * 4 <= 2 ** 30 else make_slab_skeleton_fn)
-            _EXTRACT_CACHE[kkey] = mk(net.spec, skel_caps, M, eps,
-                                      mode=mode, dist_k=dist_k)
-        Vs, Os, Es, nV0, nE0, ovf_s = _EXTRACT_CACHE[kkey](
-            net.params, net.marks)
+        if multichip:
+            # lattice forward sharded over the mesh's dp axis; epilogue
+            # replicated — identical skeleton, therefore identical funnel
+            from tropical.parallel.shard_step import skeleton_sharded
+
+            Vs, Os, Es, nV0, nE0, ovf_s = skeleton_sharded(
+                net, mesh, skel_caps, eps, mode, dist_k)
+        else:
+            kkey = ("skel", net.spec, skel_caps, M, eps, mode)
+            if kkey not in _EXTRACT_CACHE:
+                mk = (make_skeleton_fn if M <= 128
+                      and M ** 3 * R_COLS * 4 <= 2 ** 30
+                      else make_slab_skeleton_fn)
+                _EXTRACT_CACHE[kkey] = mk(net.spec, skel_caps, M, eps,
+                                          mode=mode, dist_k=dist_k)
+            Vs, Os, Es, nV0, nE0, ovf_s = _EXTRACT_CACHE[kkey](
+                net.params, net.marks)
         ovf_s = int(ovf_s)
         if ovf_s == 0:
             break

@@ -233,14 +233,19 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
     devices; those results are bit-identical to single-device (the per-row
     math is unchanged, only placement differs).
     """
+    dev_mesh = None
     if mesh is not None and mesh.size > 1:
         from tropical.extract.device import device_engine_supports
 
         if engine in ("auto", "device") and device_engine_supports(net):
-            # single-chip fused program on the mesh's first device; params
-            # stay replicated (extraction gathers are latency-critical —
-            # an mp-sharded table would turn every gather into a collective)
+            # the initial skeleton's lattice forward (embarrassingly
+            # parallel) rides the mesh's dp axis; the fused insertion loop
+            # stays single-chip — params replicated (extraction gathers are
+            # latency-critical; an mp-sharded table would turn every gather
+            # into a collective).  Funnel identical to single-chip
+            # (tests/test_parallel.py).
             engine = "device"
+            dev_mesh = mesh
         else:
             net = net.sharded(mesh)
             engine = "host"
@@ -256,7 +261,7 @@ def subpoly(net, d: int, size: float, eps: float = 1e-4, force: bool = False,
             print("# of vertices and edges = ", end="")
         try:
             return subpoly_device(net, d, size, eps, verbose=verbose,
-                                  force=force)
+                                  force=force, mesh=dev_mesh)
         except CapsExhausted as e:
             # capacity, not correctness: the host loop has no static caps —
             # finish there (slower) rather than failing the extraction

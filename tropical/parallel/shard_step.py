@@ -142,6 +142,84 @@ def shard_edge_pool(E, aliveE, EB, mesh: Mesh):
             jax.device_put(EB, w_sh))
 
 
+_SKEL_SHARDED_CACHE: dict = {}
+
+
+def skeleton_sharded(net, mesh: Mesh, skel_caps: tuple, eps: float,
+                     mode: str, dist_k: int):
+    """PRODUCT-path initial skeleton with the lattice forward shard_map'd
+    over x-slabs of the marks lattice (round-5, VERDICT task 5).
+
+    The forward (the skeleton's FLOP/gather bulk — reference
+    tropical.py:176-195) is embarrassingly parallel per lattice point:
+    each chip evaluates a contiguous x-slab with the factored lattice
+    encode; the edge extraction + squeeze epilogue then runs replicated on
+    the gathered outputs, reusing the exact single-chip device helpers
+    (`_eps_sign` / `_edges_from_sgn` / `_squeeze_edges`) so the resulting
+    skeleton — and therefore the whole extraction funnel — is IDENTICAL to
+    single-chip (pinned by tests/test_parallel.py).
+
+    Returns (V, OUT, E, n_verts, n_edges, ovf) like the device skeleton fns.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from tropical.extract import device as dev
+
+    spec = net.spec
+    M = int(net.marks.shape[0])
+    ndp = int(mesh.shape["dp"])
+    Mp = -(-M // ndp) * ndp
+    R = dev.R_COLS
+
+    key = (spec, M, ndp, mode, dist_k, tuple(skel_caps), eps,
+           tuple(sorted(mesh.shape.items())))
+    if key not in _SKEL_SHARDED_CACHE:
+        def fwd_body(params, xw, yw, zw):
+            if mode == "dist":
+                return dev._sdf_dist_grad_lattice(spec, params, xw, yw, zw)
+            from tropical.core.net import net_outputs_lattice
+            out = net_outputs_lattice(spec, params, xw, yw, zw)
+            z = jnp.zeros((out.shape[0],), jnp.float32)
+            return out, z, z
+
+        fwd = jax.jit(shard_map(
+            fwd_body, mesh=mesh,
+            in_specs=(P(), P("dp"), P(), P()),
+            out_specs=(P("dp"), P("dp"), P("dp")), check_rep=False))
+
+        SV, SE = skel_caps
+
+        @jax.jit
+        def epilogue(out, dq, gn, marks):
+            # slice the padded slabs off, then run the exact single-chip
+            # edge + squeeze stages (per-point math already identical: the
+            # sharded forward evaluates the same f32 ops per lattice point)
+            out = out.reshape(Mp, M, M, R)[:M]
+            keepv = None
+            if mode == "dist":
+                keepv = dev._lipschitz_keepv(
+                    dq.reshape(Mp, M, M)[:M], gn.reshape(Mp, M, M)[:M],
+                    marks, dist_k)
+            sgn = dev._eps_sign(out.reshape(-1, R), eps) \
+                .astype(jnp.int8).reshape(M, M, M, R)
+            mask, ea, eb = dev._edges_from_sgn(sgn, M, keepv)
+            return dev._squeeze_edges(
+                spec, mask, ea, eb, M, SV, SE,
+                lattice_out=out.reshape(M * M * M, R), marks=marks)
+
+        _SKEL_SHARDED_CACHE[key] = (fwd, epilogue)
+
+    fwd, epilogue = _SKEL_SHARDED_CACHE[key]
+    import numpy as np
+    mk = np.asarray(net.marks)
+    xs = np.concatenate([mk, np.full(Mp - M, mk[-1], mk.dtype)])
+    scale = spec.scale
+    xw = jnp.asarray(xs * (scale * 2) - scale)
+    aw = net.marks * (scale * 2) - scale
+    out, dq, gn = fwd(net.params, xw, aw, aw)
+    return epilogue(out, dq, gn, net.marks)
+
+
 def skeleton_forward_sharded(spec, mesh: Mesh):
     """The skeleton's lattice forward sharded over x-slabs (dp): each chip
     evaluates its contiguous slab of the marks lattice with the factored
