@@ -46,6 +46,8 @@ def main():
     idx = jax.random.randint(k, (N,), 0, M, dtype=jnp.int32)
     cols = [jax.random.randint(jax.random.PRNGKey(i), (M,), 0, 2 ** 30,
                                dtype=jnp.int32) for i in range(8)]
+    tab2 = jnp.stack(cols[:2], axis=1)              # [M, 2]
+    tab3 = jnp.stack(cols[:3], axis=1)              # [M, 3]
     tab4 = jnp.stack(cols[:4], axis=1)              # [M, 4]
     tab8 = jnp.stack(cols, axis=1)                  # [M, 8]
 
@@ -61,9 +63,25 @@ def main():
         g = cols[0][ix]
         return g, g
 
+    def sep2(ix):                       # 2 single-column gathers
+        g = [c[ix] for c in cols[:2]]
+        return g[0] + g[1], g[0]
+
     def sep4(ix):                       # 4 single-column gathers
         g = [c[ix] for c in cols[:4]]
         return g[0] + g[1] + g[2] + g[3], g[0]
+
+    def sep6(ix):                       # 6 single-column gathers
+        g = [c[ix] for c in cols[:6]]
+        return sum(g[1:], g[0]), g[0]
+
+    def row2(ix):                       # one [N, 2] row gather
+        r = tab2[ix]
+        return r.sum(1), r[:, 0]
+
+    def row3(ix):                       # one [N, 3] row gather
+        r = tab3[ix]
+        return r.sum(1), r[:, 0]
 
     def row4(ix):                       # one [N, 4] row gather
         r = tab4[ix]
@@ -73,8 +91,15 @@ def main():
         r = tab8[ix]
         return r.sum(1), r[:, 0]
 
-    for name, fn in [("sep1", sep1), ("sep4", sep4),
-                     ("row4", row4), ("row8", row8)]:
+    def pack_row3(ix):                  # per-call pack + one [N, 3] row gather
+        t = jnp.stack(cols[:3], axis=1)
+        r = t[ix]
+        return r.sum(1), r[:, 0]
+
+    for name, fn in [("sep1", sep1), ("sep2", sep2), ("sep4", sep4),
+                     ("sep6", sep6), ("row2", row2), ("row3", row3),
+                     ("row4", row4), ("row8", row8),
+                     ("pack_row3", pack_row3)]:
         t = run(chain(fn), idx)
         per_idx = t / ITERS / N * 1e9
         print(f"{name}: {t*1e3:8.1f} ms total  {per_idx:6.2f} ns/index",

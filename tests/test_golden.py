@@ -26,8 +26,9 @@ def _load_net(entry):
     from tropical.stanford.model import Net
     from tropical.utils import checkpoint as ckpt
 
-    net = Net(num_layers=3, num_hidden=16, levels=4, r_min=2, r_max=32, T=19,
-              key=jax.random.PRNGKey(1))
+    net = Net(num_layers=3, num_hidden=16, levels=4,
+              r_min=entry.get("r_min", 2), r_max=entry.get("r_max", 32),
+              T=19, key=jax.random.PRNGKey(1))
     path = os.path.join(os.path.dirname(__file__), "..", entry["checkpoint"])
     found = ckpt.find_checkpoint(path)
     assert found, f"committed checkpoint missing: {path}"
@@ -35,7 +36,7 @@ def _load_net(entry):
     return net
 
 
-@pytest.mark.parametrize("name", ["sphere", "torus"])
+@pytest.mark.parametrize("name", ["sphere", "torus", "sphere_medium_curved"])
 def test_funnel_counts_exact(name):
     from tropical.extract.subdivide import subpoly
     from tropical.extract import stats
@@ -45,8 +46,9 @@ def test_funnel_counts_exact(name):
 
     g = GOLDEN[name]
     net = _load_net(g)
-    faces, vertices, tris = subpoly(net, 3, 1.2, force=True, verbose=False,
-                                    engine="host")
+    faces, vertices, tris = subpoly(net, 3, 1.2,
+                                    force=g.get("force", True),
+                                    verbose=False, engine="host")
 
     assert stats.LAST["pre_v"] == g["pre_v"], stats.LAST
     assert stats.LAST["pre_e"] == g["pre_e"], stats.LAST

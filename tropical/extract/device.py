@@ -202,8 +202,21 @@ def _edge_bits(sbp, zbp, sbq, zbq):
 
 def _gather_words(W2, idx):
     """[NW, N] u32 word store gathered at ``idx`` -> [NW, K] (single-column
-    gathers per word: multi-column row gathers lower ~6x slower on TPU)."""
+    gathers per word; see _split_w6 for merging several stores at the SAME
+    index vector into one short row gather)."""
     return jnp.stack([W2[w][idx] for w in range(NW)])
+
+
+def _split_w6(rows):
+    """[K, 3*NW] rows of the packed per-step word table -> (sb, zb, sz),
+    each [NW, K].
+
+    Independent single-column gathers do NOT overlap on the TPU gather
+    emitter (~11-13 ns/index EACH, scripts/probe_gather.py) while a packed
+    short row gather costs ~11-14 ns/row total, so reading SB+ZB+SZ at one
+    index vector is ~5x cheaper through a per-step ``[N, 3*NW]`` table
+    (built once per busy step: three transposes, bandwidth-trivial)."""
+    return rows[:, :NW].T, rows[:, NW:2 * NW].T, rows[:, 2 * NW:].T
 
 
 def _pack_tri_words(a, b, c):
@@ -514,8 +527,9 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             lanes, cval, n_split = _compact_lanes(split, CCAP)
         ovf = ovf | jnp.where(n_split > CCAP, OVF_C, 0)
         ovf = ovf | jnp.where(nV + n_split > VCAP - CCAP, OVF_V, 0)
-        ce0 = E[lanes, 0]
-        ce1 = E[lanes, 1]
+        ce = E[lanes]                              # one [CCAP, 2] row gather
+        ce0 = ce[:, 0]
+        ce1 = ce[:, 1]
         # d-values of the current plane, gathered at candidate lanes only
         ocp = jnp.take(OUT, idx, axis=1)           # [VCAP] column slice
         cd0 = ocp[ce0]
@@ -534,8 +548,10 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             # of 33 floats — the row gathers were ~6M gathered elements per
             # busy step at medium scale; the words themselves are packed once
             # at vertex creation)
-            both_lo = ZB[0][ce0] & ZB[0][ce1]
-            both_hi = (ZB[1][ce0] & ZB[1][ce1]) if NW > 1 else \
+            zb0r = ZB.T[ce0]                       # [CCAP, NW] row gathers
+            zb1r = ZB.T[ce1]
+            both_lo = zb0r[:, 0] & zb1r[:, 0]
+            both_hi = (zb0r[:, 1] & zb1r[:, 1]) if NW > 1 else \
                 jnp.zeros_like(both_lo)
         colu = jnp.arange(R_COLS, dtype=jnp.uint32)[None, :]
         # [CCAP, R] bool: column is eps-zero at BOTH endpoints
@@ -714,16 +730,28 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             # pre-compaction: rewrite + append sites below index them by
             # slot) and store the survivor-compacted block alongside OUT
             sb_pre, zb_pre, sz_pre = _pack_out_words(cand_out, eps)
-            sb_s = jnp.where(sval[None, :], _gather_words(sb_pre, slanes), 0)
-            zb_s = jnp.where(sval[None, :], _gather_words(zb_pre, slanes), 0)
+            # one row gather at slanes instead of 2-3*NW column gathers
+            w_pre = jnp.concatenate(
+                [sb_pre.T, zb_pre.T] + ([sz_pre.T] if not final else []),
+                axis=1)
+            w_sel = jnp.where(sval[:, None], w_pre[slanes], 0)
+            sb_s = w_sel[:, :NW].T
+            zb_s = w_sel[:, NW:2 * NW].T
             SB = jax.lax.dynamic_update_slice(SB, sb_s, (0, start_v))
             ZB = jax.lax.dynamic_update_slice(ZB, zb_s, (0, start_v))
             if not final:
-                sz_s = jnp.where(sval[None, :],
-                                 _gather_words(sz_pre, slanes), 0)
+                sz_s = w_sel[:, 2 * NW:].T
                 SZ = jax.lax.dynamic_update_slice(SZ, sz_s, (0, start_v))
         # aliveV is not maintained per step: liveness is implied by aliveE
         # (the hit scan walks edges); the epilogue recomputes it once
+
+        if not final:
+            # packed per-vertex word table for this step's remaining word
+            # reads (rewrite @ce0, appends @ra, connecting edges @c_app):
+            # one short row gather per index set instead of 3*NW serialized
+            # column gathers (see _split_w6).  Built AFTER the stage-6 block
+            # write so the new vertices' rows are included.
+            W6 = jnp.concatenate([SB.T, ZB.T, SZ.T], axis=1)  # [VCAP, 3*NW]
 
         # --- 7. edge rewrite + right-edge append (subpoly.py:210-215) ----------
         # Appends are PRE-filtered by the same future-sign test the
@@ -744,7 +772,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             rank = jnp.cumsum(split.astype(jnp.int32)) - 1
             split_kept = split & keep_c[rank]
             new_id = nV + rank2[rank]
-            old_second = E[lanes, 1]
+            old_second = ce1          # E[lanes, 1]; E is untouched since s2
             aliveE_pre = aliveE       # pre-append liveness, for the hit scan
             e0_col = E[:, 0]          # pre-rewrite endpoints, ditto
             e1_col = E[:, 1]
@@ -755,9 +783,7 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             # place (slot space: slot s rewrites lane lanes[s] iff its
             # candidate survived; a = ce0[s], new words = slot-space pack)
             if not final:
-                rw_p_sb = _gather_words(SB, ce0)
-                rw_p_zb = _gather_words(ZB, ce0)
-                rw_p_sz = _gather_words(SZ, ce0)
+                rw_p_sb, rw_p_zb, rw_p_sz = _split_w6(W6[ce0])
                 eb_rw, ld_rw = _edge_bits(rw_p_sb, rw_p_zb, sb_pre, zb_pre)
                 rw_tgt = jnp.where(cval & keep_c, lanes, ECAP)
                 EB = jnp.stack([EB[w].at[rw_tgt].set(eb_rw[w], mode="drop")
@@ -771,44 +797,54 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                      for w in range(NW)])
 
             ra = jnp.where(sval, old_second[slanes], 0)
-            rb = nV + jnp.arange(CCAP, dtype=jnp.int32)
             if prefilter:
                 # appended edges (old second endpoint, new vertex): the
                 # pre-filter needs their last-differ columns
-                ap_p_sb = _gather_words(SB, ra)
-                ap_p_zb = _gather_words(ZB, ra)
+                ap_p_sb, ap_p_zb, ap_p_sz = _split_w6(W6[ra])
                 eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
                 keep_r = sval & (ld_ap >= idx)
                 rlanes, rval, n_eapp = _compact_lanes(keep_r, CCAP)
+                # every appended-edge column (ra + the word-store block) in
+                # ONE row gather at rlanes instead of 7 serialized 1D
+                # gathers (_split_w6 rationale)
+                ap8 = jnp.concatenate(
+                    [ra[:, None].astype(jnp.uint32), eb_ap.T,
+                     ld_ap[:, None].astype(jnp.uint32), ap_p_sz.T, sz_s.T],
+                    axis=1)[rlanes]
+                ra_c = ap8[:, 0].astype(jnp.int32)
+                eb_blk = jnp.where(rval[None, :], ap8[:, 1:1 + NW].T, 0)
+                ld_blk = jnp.where(rval,
+                                   ap8[:, 1 + NW].astype(jnp.int32), -1)
+                ez0_blk = jnp.where(rval[None, :],
+                                    ap8[:, 2 + NW:2 + 2 * NW].T, 0)
+                ez1_blk = jnp.where(rval[None, :], ap8[:, 2 + 2 * NW:].T, 0)
             else:
+                # no pre-filter: the survivor block appends as-is (slot
+                # order), so no compaction gathers are needed at all
                 rlanes, rval, n_eapp = (jnp.arange(CCAP, dtype=jnp.int32),
                                         sval, n_new)
+                ra_c = ra
+                if not final:
+                    ap_p_sb, ap_p_zb, ap_p_sz = _split_w6(W6[ra])
+                    eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
+                    eb_blk = jnp.where(rval[None, :], eb_ap, 0)
+                    ld_blk = jnp.where(rval, ld_ap, -1)
+                    ez0_blk = jnp.where(rval[None, :], ap_p_sz, 0)
+                    ez1_blk = jnp.where(rval[None, :], sz_s, 0)
             e_app = jnp.stack(
-                [jnp.where(rval, ra[rlanes], 0),
-                 jnp.where(rval, rb[rlanes], 0)], axis=-1)
+                [jnp.where(rval, ra_c, 0),
+                 jnp.where(rval, nV + rlanes, 0)], axis=-1)
             start_e = jnp.minimum(nE, ECAP - CCAP)
             ovf = ovf | jnp.where(nE + n_eapp > ECAP - CCAP, OVF_E, 0)
             E = jax.lax.dynamic_update_slice(E, e_app, (start_e, 0))
             aliveE = jax.lax.dynamic_update_slice(aliveE, rval, (start_e,))
             if not final:
-                if not prefilter:
-                    ap_p_sb = _gather_words(SB, ra)
-                    ap_p_zb = _gather_words(ZB, ra)
-                    eb_ap, ld_ap = _edge_bits(ap_p_sb, ap_p_zb, sb_s, zb_s)
-                ap_p_sz = _gather_words(SZ, ra)
-                eb_blk = jnp.where(rval[None, :],
-                                   _gather_words(eb_ap, rlanes), 0)
-                ld_blk = jnp.where(rval, ld_ap[rlanes], -1)
                 EB = jax.lax.dynamic_update_slice(EB, eb_blk, (0, start_e))
                 LD = jax.lax.dynamic_update_slice(LD, ld_blk, (start_e,))
-                EZ0 = jax.lax.dynamic_update_slice(
-                    EZ0, jnp.where(rval[None, :],
-                                   _gather_words(ap_p_sz, rlanes), 0),
-                    (0, start_e))
-                EZ1 = jax.lax.dynamic_update_slice(
-                    EZ1, jnp.where(rval[None, :],
-                                   _gather_words(sz_s, rlanes), 0),
-                    (0, start_e))
+                EZ0 = jax.lax.dynamic_update_slice(EZ0, ez0_blk,
+                                                   (0, start_e))
+                EZ1 = jax.lax.dynamic_update_slice(EZ1, ez1_blk,
+                                                   (0, start_e))
         nE2 = nE + n_eapp
         nV2 = nV + n_new
 
@@ -966,23 +1002,32 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
             si = jax.lax.cummax(marker)
             slot = jnp.arange(PCAP, dtype=jnp.int32)
             p_valid = slot < n_pairs
-            off = slot - (cum[si] - r[si]) + 1
-            cpa = srow[si]
-            cpb = srow[jnp.clip(si - off, 0, nrep_sz - 1)]
+            # one [nrep, 2] row gather at si replaces the separate cum/r/srow
+            # column gathers: independent single-column gathers do NOT
+            # overlap on TPU (~11-13 ns/index EACH) while a packed short row
+            # costs ~11 ns total (scripts/probe_gather.py); the replica
+            # payload (zs/go/vid) rides the same rows so stage 11 needs no
+            # further candidate-table gathers at all
+            rtab = jnp.stack([(cum - r).astype(jnp.uint32),
+                              zs[srow], go[srow],
+                              all_vid[srow].astype(jnp.uint32)], axis=1)
+            ra_row = rtab[si]
+            off = slot - ra_row[:, 0].astype(jnp.int32) + 1
+            rb_row = rtab[jnp.clip(si - off, 0, nrep_sz - 1)]
 
         # --- 11. shared-plane filter (subpoly.py:524-533), on packed words -----
         with jax.named_scope("s11_pairfilter"):
-            zs_ab = zs[cpa] & zs[cpb]
-            go_a = go[cpa]
-            go_b = go[cpb]
+            zs_ab = ra_row[:, 1] & rb_row[:, 1]
+            go_a = ra_row[:, 2]
+            go_b = rb_row[:, 2]
         shared = jax.lax.population_count(zs_ab).astype(jnp.int32)
         both_zero = (go_a >> 27) & (go_b >> 27)                  # 3-bit mask
         for dax in range(D):
             off_eq = ((go_a ^ go_b) >> (9 * dax)) & jnp.uint32(511)
             shared = shared + jnp.where(
                 ((both_zero >> dax) & 1 > 0) & (off_eq == 0), 1, 0)
-        va = all_vid[cpa]
-        vb = all_vid[cpb]
+        va = ra_row[:, 3].astype(jnp.int32)
+        vb = rb_row[:, 3].astype(jnp.int32)
         keep_pair = p_valid & (shared >= 1) & (va != vb)
 
         if "dedup" in disable:  # profiling cut: stop before the dedup sort
@@ -1007,12 +1052,16 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         uniq = first & (slo < VCAP)
         if prefilter:
             # future-sign pre-filter on packed base-3 keys (pair-pool width;
-            # the per-edge word store only helps once an edge exists)
+            # the per-edge word store only helps once an edge exists); the
+            # two key words ride one [VCAP, 2] table so each side is a
+            # single row gather
             colf = jnp.arange(R_COLS, dtype=jnp.int32)
-            pk1, pk2 = _pack_base3(_eps_sign(OUT, eps), colf >= idx)
-            uniq = uniq & (
-                (pk1[jnp.minimum(slo, VCAP - 1)] != pk1[jnp.minimum(shi, VCAP - 1)])
-                | (pk2[jnp.minimum(slo, VCAP - 1)] != pk2[jnp.minimum(shi, VCAP - 1)]))
+            pktab = jnp.stack(_pack_base3(_eps_sign(OUT, eps), colf >= idx),
+                              axis=1)
+            plo = pktab[jnp.minimum(slo, VCAP - 1)]
+            phi = pktab[jnp.minimum(shi, VCAP - 1)]
+            uniq = uniq & ((plo[:, 0] != phi[:, 0])
+                           | (plo[:, 1] != phi[:, 1]))
         ulanes, uval, n_conn = _compact_lanes(uniq, CONNCAP)
         ovf = ovf | jnp.where(n_conn > CONNCAP, OVF_P, 0)
         c_app = jnp.stack([jnp.where(uval, slo[ulanes], 0),
@@ -1023,24 +1072,20 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
         aliveE = jax.lax.dynamic_update_slice(aliveE, uval, (start_e2,))
         if not final:
             # connecting edges' static split words (endpoints are all written
-            # to the word store by now: new vertices in stage 6, hits old)
-            cn_p_sb = _gather_words(SB, c_app[:, 0])
-            cn_p_zb = _gather_words(ZB, c_app[:, 0])
-            cn_q_sb = _gather_words(SB, c_app[:, 1])
-            cn_q_zb = _gather_words(ZB, c_app[:, 1])
+            # to the word store by now: new vertices in stage 6, hits old);
+            # one packed row gather per endpoint instead of 3*NW column
+            # gathers each
+            cn_p_sb, cn_p_zb, cn_p_sz = _split_w6(W6[c_app[:, 0]])
+            cn_q_sb, cn_q_zb, cn_q_sz = _split_w6(W6[c_app[:, 1]])
             eb_cn, ld_cn = _edge_bits(cn_p_sb, cn_p_zb, cn_q_sb, cn_q_zb)
             EB = jax.lax.dynamic_update_slice(
                 EB, jnp.where(uval[None, :], eb_cn, 0), (0, start_e2))
             LD = jax.lax.dynamic_update_slice(
                 LD, jnp.where(uval, ld_cn, -1), (start_e2,))
             EZ0 = jax.lax.dynamic_update_slice(
-                EZ0, jnp.where(uval[None, :],
-                               _gather_words(SZ, c_app[:, 0]), 0),
-                (0, start_e2))
+                EZ0, jnp.where(uval[None, :], cn_p_sz, 0), (0, start_e2))
             EZ1 = jax.lax.dynamic_update_slice(
-                EZ1, jnp.where(uval[None, :],
-                               _gather_words(SZ, c_app[:, 1]), 0),
-                (0, start_e2))
+                EZ1, jnp.where(uval[None, :], cn_q_sz, 0), (0, start_e2))
         nE3 = nE2 + n_conn
 
         z = jnp.int32(0)
@@ -1107,16 +1152,25 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                 with jax.named_scope("prune_compact"):
                     kp = jax.lax.slice(keep, (0,), (T,))
                     lanes, val, _ = _compact_lanes(kp, T)
-                    Et = jax.lax.slice(E, (0, 0), (T, 2))
-                    Ec = jnp.where(val[:, None], Et[lanes], 0)
-                    EBc = jnp.where(val[None, :], _gather_words(
-                        jax.lax.slice(EB, (0, 0), (NW, T)), lanes), 0)
-                    LDc = jnp.where(val, jax.lax.slice(LD, (0,), (T,))[lanes],
-                                    -1)
-                    EZ0c = jnp.where(val[None, :], _gather_words(
-                        jax.lax.slice(EZ0, (0, 0), (NW, T)), lanes), 0)
-                    EZ1c = jnp.where(val[None, :], _gather_words(
-                        jax.lax.slice(EZ1, (0, 0), (NW, T)), lanes), 0)
+                    # ONE packed row gather reorders all five edge-pool
+                    # arrays (E cols, EB, LD, EZ0, EZ1) — serialized 1D
+                    # gathers cost ~13 ns/index EACH (_split_w6 rationale)
+                    row = jnp.concatenate(
+                        [jax.lax.slice(E, (0, 0), (T, 2)).astype(jnp.uint32),
+                         jax.lax.slice(EB, (0, 0), (NW, T)).T,
+                         jax.lax.slice(LD, (0,), (T,))[:, None]
+                         .astype(jnp.uint32),
+                         jax.lax.slice(EZ0, (0, 0), (NW, T)).T,
+                         jax.lax.slice(EZ1, (0, 0), (NW, T)).T],
+                        axis=1)[lanes]
+                    Ec = jnp.where(val[:, None],
+                                   row[:, :2].astype(jnp.int32), 0)
+                    EBc = jnp.where(val[None, :], row[:, 2:2 + NW].T, 0)
+                    LDc = jnp.where(val,
+                                    row[:, 2 + NW].astype(jnp.int32), -1)
+                    EZ0c = jnp.where(val[None, :],
+                                     row[:, 3 + NW:3 + 2 * NW].T, 0)
+                    EZ1c = jnp.where(val[None, :], row[:, 3 + 2 * NW:].T, 0)
                 if T < ECAP:
                     pe = ECAP - T
                     Ec = jnp.concatenate(
@@ -1185,12 +1239,13 @@ def make_step_fn(spec: NetSpec, caps: Caps, eps: float,
                     OUTc = jnp.where(
                         vval[:, None],
                         jax.lax.slice(OUT, (0, 0), (T, R_COLS))[vlanes], 0)
-                    SBc = jnp.where(vval[None, :], _gather_words(
-                        jax.lax.slice(SB, (0, 0), (NW, T)), vlanes), 0)
-                    ZBc = jnp.where(vval[None, :], _gather_words(
-                        jax.lax.slice(ZB, (0, 0), (NW, T)), vlanes), 0)
-                    SZc = jnp.where(vval[None, :], _gather_words(
-                        jax.lax.slice(SZ, (0, 0), (NW, T)), vlanes), 0)
+                    wrow = jnp.concatenate(
+                        [jax.lax.slice(SB, (0, 0), (NW, T)).T,
+                         jax.lax.slice(ZB, (0, 0), (NW, T)).T,
+                         jax.lax.slice(SZ, (0, 0), (NW, T)).T],
+                        axis=1)[vlanes]
+                    SBc, ZBc, SZc = (jnp.where(vval[None, :], w, 0)
+                                     for w in _split_w6(wrow))
                 if T < VCAP:
                     pv = VCAP - T
                     Vc = jnp.concatenate([Vc, jnp.zeros((pv, 3), Vc.dtype)])
@@ -1501,9 +1556,14 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         # member in replica space.  Region ORDER therefore differs from the
         # host's np.unique lex order (triangle ordering only; content is
         # deduplicated exactly, same guarantee as the host).
+        # members 0..3 sit at CONSECUTIVE replica positions: one row gather
+        # of a shifted-window table replaces 4 serialized 1D gathers
+        r2v_pad = jnp.concatenate([r2v, jnp.broadcast_to(r2v[-1:], (3,))])
+        r2v4 = jnp.stack([r2v_pad[k:k + nrep] for k in range(4)], axis=1)
+        mrows = r2v4[jnp.clip(starts, 0, nrep - 1)]
+
         def member_k(k):
-            pos = jnp.clip(starts + k, 0, nrep - 1)
-            return jnp.where(cnt > k, r2v[pos], -1)
+            return jnp.where(cnt > k, mrows[:, k], -1)
         guard = jnp.where(cnt > 0, 0, jnp.int32(BIGKEY))
         rar = jnp.arange(RGC, dtype=jnp.int32)
         sorted_ops = jax.lax.sort(
@@ -1604,12 +1664,19 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
             rar, mode="drop", unique_indices=True)
         sit = jax.lax.cummax(marker_t)
         slot_t = jnp.arange(TC, dtype=jnp.int32)
-        ot = slot_t - starts_t[sit]
+        # starts_t/base2 ride one packed row gather at sit; vb_/vc_ sit at
+        # CONSECUTIVE positions so they ride one row gather of a
+        # next-neighbor pair table (_split_w6 rationale)
+        stt = jnp.stack([starts_t, base2], axis=1)[sit]
+        ot = slot_t - stt[:, 0]
         t_valid = slot_t < total_t
-        cb = base2[sit]
+        cb = stt[:, 1]
+        cvid2 = jnp.stack(
+            [cvid, jnp.concatenate([cvid[1:], cvid[-1:]])], axis=1)
         va_ = cvid[jnp.clip(cb, 0, nrep - 1)]
-        vb_ = cvid[jnp.clip(cb + ot + 1, 0, nrep - 1)]
-        vc_ = cvid[jnp.clip(cb + ot + 2, 0, nrep - 1)]
+        vbc = cvid2[jnp.clip(cb + ot + 1, 0, nrep - 1)]
+        vb_ = vbc[:, 0]
+        vc_ = vbc[:, 1]
         if (FVC - 1).bit_length() <= 18:
             # 2-word packed triangles (vids are < FVC <= 2^18); the host
             # detects the u32[:, 2] shape and unpacks exactly
