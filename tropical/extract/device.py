@@ -1356,9 +1356,12 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         E0h = jax.lax.slice(E0, (0, 0), (SEh, 2))
         se0 = jnp.where(aliveE_h, E0h[:, 0], 0)
         se1 = jnp.where(aliveE_h, E0h[:, 1], 0)
-        eb0, ld0 = _edge_bits(
-            _gather_words(SB0, se0), _gather_words(ZB0, se0),
-            _gather_words(SB0, se1), _gather_words(ZB0, se1))
+        # one packed row gather per endpoint instead of 3*NW serialized
+        # column gathers each (_split_w6 rationale)
+        W60 = jnp.concatenate([SB0.T, ZB0.T, SZ0.T], axis=1)
+        sb_e0, zb_e0, sz_e0 = _split_w6(W60[se0])
+        sb_e1, zb_e1, sz_e1 = _split_w6(W60[se1])
+        eb0, ld0 = _edge_bits(sb_e0, zb_e0, sb_e1, zb_e1)
 
         def _pade(w, fill):
             if SEh == ECAP:
@@ -1372,21 +1375,64 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
                       _pade(jnp.where(aliveE_h[None, :], eb0, 0),
                             jnp.uint32(0)),
                       _pade(jnp.where(aliveE_h, ld0, -1), jnp.int32(-1)),
-                      _pade(jnp.where(aliveE_h[None, :],
-                                      _gather_words(SZ0, se0), 0),
+                      _pade(jnp.where(aliveE_h[None, :], sz_e0, 0),
                             jnp.uint32(0)),
-                      _pade(jnp.where(aliveE_h[None, :],
-                                      _gather_words(SZ0, se1), 0),
+                      _pade(jnp.where(aliveE_h[None, :], sz_e1, 0),
                             jnp.uint32(0)))
 
         lut = jnp.searchsorted(
             marks, jnp.arange(LUTN, dtype=marks.dtype) / LUTN
         ).astype(jnp.int32)
 
-        def body(i, st):
-            return step(params, marks, lut, st, i, prune=True)
+        # --- busy-skip loop driver (round 5) -------------------------------
+        # ~2/3 of the 32 hidden-plane insertions split nothing (reference
+        # early-return, subpoly.py:110-111; idle steps leave the state
+        # bit-identical), yet each idle fori iteration paid a pool-wide
+        # [ECAP] split-bit probe + cond dispatch (~1 ms/step at M=201).  A
+        # [NW]-word OR summary of the alive edges' split words knows every
+        # plane with at least one live split, so the loop jumps straight
+        # from busy plane to busy plane: the while_loop runs ~3-10
+        # iterations instead of 32, and the summary refresh is one masked
+        # [NW, ECAP] OR-reduce per BUSY step.  `step`'s own has_split cond
+        # stays as a harmless second gate (summary bit set => split exists).
+        def _split_summary(st: State):
+            live = jnp.where(st.aliveE[None, :], st.EB, jnp.uint32(0))
+            return jax.lax.reduce(live, jnp.uint32(0),
+                                  jax.lax.bitwise_or, (1,))
 
-        state = jax.lax.fori_loop(0, n_hidden_steps, body, state)
+        def _next_busy(i, SM):
+            """Smallest plane j >= i with a live split bit, else
+            n_hidden_steps (i, j traced i32 scalars)."""
+            nxt = jnp.int32(n_hidden_steps)
+            for w in range(NW):
+                if 32 * w >= n_hidden_steps:
+                    break
+                lo = jnp.clip(i - 32 * w, 0, 32)
+                keep_mask = jnp.where(
+                    lo >= 32, jnp.uint32(0),
+                    jax.lax.shift_left(
+                        jnp.uint32(0xFFFFFFFF),
+                        jnp.clip(lo, 0, 31).astype(jnp.uint32)))
+                word = SM[w] & keep_mask
+                lowbit = word & (~word + jnp.uint32(1))
+                tz = jax.lax.population_count(
+                    lowbit - jnp.uint32(1)).astype(jnp.int32)
+                cand = jnp.where(word > 0, 32 * w + tz, n_hidden_steps)
+                nxt = jnp.minimum(nxt, cand)
+            return jnp.minimum(nxt, jnp.int32(n_hidden_steps))
+
+        def cond(carry):
+            return carry[0] < n_hidden_steps
+
+        def body(carry):
+            i, st, SM = carry
+            st = step(params, marks, lut, st, i, prune=True)
+            SM = _split_summary(st)
+            return (_next_busy(i + 1, SM), st, SM)
+
+        SM0 = _split_summary(state)
+        _, state, _ = jax.lax.while_loop(
+            cond, body, (_next_busy(jnp.int32(0), SM0), state, SM0))
         if stop_before_final:
             return state
         # final layer (h == num_hidden): no pruning (subpoly.py:67-69,253);
@@ -1537,17 +1583,47 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
             (rids, kzf[srow], srow), num_keys=3)
         i2 = jnp.arange(nrep, dtype=jnp.int32)
         nr2 = jnp.concatenate([jnp.ones((1,), bool), r2a[1:] != r2a[:-1]])
+        is_last2 = jnp.concatenate([r2a[1:] != r2a[:-1],
+                                    jnp.ones((1,), bool)])
         valid_rep = r2a < RGC
         rsafe = jnp.clip(r2a, 0, RGC - 1)
         rstart = jax.lax.cummax(jnp.where(nr2, i2, 0))
         krank = i2 - rstart                    # member rank within region
-        cnt = jnp.zeros(RGC, jnp.int32).at[rids].add(1, mode="drop")
-        tsum = jnp.zeros(RGC, jnp.int32).at[
-            jnp.where(valid_rep, r2a, RGC)].add(r2v, mode="drop")
         starts = jnp.zeros(RGC, jnp.int32).at[
             jnp.where(nr2 & valid_rep, r2a, RGC)].max(
             i2, mode="drop", unique_indices=True)
+        # exclusive end positions (present regions only; absent -> 0, so
+        # cnt = ends1 - starts is 0 there with no extra presence scatter)
+        ends1 = jnp.zeros(RGC, jnp.int32).at[
+            jnp.where(is_last2 & valid_rep, r2a, RGC)].max(
+            i2 + 1, mode="drop", unique_indices=True)
+        cnt = jnp.maximum(ends1 - starts, 0)
         gmax = cnt.max().astype(jnp.int32)     # stats only (sizes hw[12])
+
+        # per-region sums ride ONE packed cumsum over the region-sorted
+        # replica axis + two [RGC]-row boundary gathers instead of
+        # [nrep]-row scatter-adds (the means scatter-add alone measured
+        # 52 ms at M=201).  Columns: member vid (i32; wraparound diffs are
+        # exact) and the member coordinates in 2^-22 fixed point (|coord|
+        # <= canvas 1.2 -> |fix| < 2^23 exact in f32 and i32; segment sums
+        # < gcap * 2^23 < 2^31; quantization perturbs each mean by
+        # <= 2^-22 ~ 2e-7, the same order as the f32 scatter-add's
+        # order-dependent rounding — only angular-sort tie-breaks on
+        # sliver polygons can flip, the divergence class the faces parity
+        # test already pins)
+        ptsr = Vf[jnp.clip(r2v, 0, FVC - 1)] * valid_rep[:, None]
+        PFIX = jnp.float32(1 << 22)
+        pfix = jnp.rint(ptsr * PFIX).astype(jnp.int32)
+        seg1 = jnp.concatenate(
+            [jnp.where(valid_rep, r2v, 0)[:, None], pfix], axis=1)
+        cum1 = jnp.cumsum(seg1, axis=0)
+        e_idx = jnp.clip(ends1 - 1, 0, nrep - 1)
+        s_idx = jnp.clip(starts, 0, nrep - 1)
+        sums1 = jnp.where((cnt > 0)[:, None],
+                          cum1[e_idx] - (cum1 - seg1)[s_idx], 0)
+        tsum = sums1[:, 0]
+        kdiv = jnp.maximum(cnt, 1)[:, None].astype(jnp.float32)
+        means = sums1[:, 1:].astype(jnp.float32) / (PFIX * kdiv)
 
         # deterministic region ordering + duplicate-row removal (np.unique
         # semantics, subpoly.py:617-620): order regions by a compact key
@@ -1580,8 +1656,11 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         # mismatches (segment-AND via a mismatch-count scatter)
         ppos = jnp.clip(pstart[rsafe] + krank, 0, nrep - 1)
         mism = valid_rep & (r2v != r2v[ppos])
-        neq = jnp.zeros(RGC, jnp.int32).at[
-            jnp.where(mism, r2a, RGC)].add(1, mode="drop")
+        # sorted-segment count (same boundary-gather trick as cnt/tsum)
+        cumm = jnp.cumsum(mism.astype(jnp.int32))
+        neq = jnp.where(cnt > 0,
+                        cumm[e_idx] - cumm[s_idx]
+                        + mism[s_idx].astype(jnp.int32), 0)
         dup_rg = (jrank > 0) & (cnt > 0) & (cnt == pcnt) & (neq == 0)
         keep_rg = (cnt >= 3) & ~dup_rg
 
@@ -1590,10 +1669,6 @@ def make_extract_fn(spec: NetSpec, caps: Caps, eps: float,
         # and cost argument as _sdf_dist_grad: the primal's table gathers
         # are CSE'd once, the tangents are arithmetic-only) — sdf = tanh of
         # the last column, so grad = (1 - sdf^2) * dcol/dq
-        ptsr = Vf[jnp.clip(r2v, 0, FVC - 1)] * valid_rep[:, None]
-        kdiv = jnp.maximum(cnt, 1)[:, None].astype(jnp.float32)
-        means = jnp.zeros((RGC, 3), jnp.float32).at[
-            jnp.where(valid_rep, r2a, RGC)].add(ptsr, mode="drop") / kdiv
         fm = lambda w: net_outputs(spec, params, w)
         out_m, fm_lin = jax.linearize(fm, means)
         tangs = []
@@ -1984,8 +2059,10 @@ def _squeeze_edges(spec, mask, ea, eb, M: int, SV: int, SE: int,
     TPU emitter already handles at ~2 ns/element.  Keep the row gather."""
     lanes, val, n_edges = _compact_lanes(mask, SE)
     ovf = jnp.where(n_edges > SE, jnp.int32(OVF_E), 0)
-    ea_c = jnp.where(val, ea[lanes], 0)
-    eb_c = jnp.where(val, eb[lanes], 0)
+    # one [n, 2] row gather instead of two 1D gathers (_split_w6 rationale)
+    eab = jnp.stack([ea, eb], axis=1)[lanes]
+    ea_c = jnp.where(val, eab[:, 0], 0)
+    eb_c = jnp.where(val, eab[:, 1], 0)
 
     used = jnp.zeros(M * M * M, bool)
     used = used.at[jnp.where(val, ea_c, M * M * M)].set(True, mode="drop")
