@@ -155,9 +155,13 @@ def skeleton_sharded(net, mesh: Mesh, skel_caps: tuple, eps: float,
     each chip evaluates a contiguous x-slab with the factored lattice
     encode; the edge extraction + squeeze epilogue then runs replicated on
     the gathered outputs, reusing the exact single-chip device helpers
-    (`_eps_sign` / `_edges_from_sgn` / `_squeeze_edges`) so the resulting
-    skeleton — and therefore the whole extraction funnel — is IDENTICAL to
-    single-chip (pinned by tests/test_parallel.py).
+    (`_eps_sign` / `_edges_from_sgn` / `_squeeze_edges`).  The resulting
+    skeleton matches single-chip in counts and edge topology; coordinates
+    and outputs agree to fp tolerance only — the shard_map'd forward is a
+    different XLA program over different shapes, and XLA guarantees no
+    bitwise reproducibility across partitionings, so downstream sliver
+    polygons may flip a fan pivot (quantified contract pinned by
+    tests/test_parallel.py, same shape as the device/host faces contract).
 
     Returns (V, OUT, E, n_verts, n_edges, ovf) like the device skeleton fns.
     """
